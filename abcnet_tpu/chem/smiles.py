@@ -1,0 +1,434 @@
+"""SMILES parsing and canonical writing.
+
+Standalone replacement for the RDKit entry points the reference uses:
+``Chem.MolFromSmiles`` + ``Chem.MolToSmiles(canonical=True)``
+(/root/reference/src/img2smiles2.py:106-107, src/cal_acc.py:34-36).
+
+Canonicalization is Morgan-style iterative refinement with a branching
+tie-break (candidate canonical strings are generated for each member of
+the first ambiguous equivalence class and the lexicographically smallest
+wins), which yields a true canonical form for all chemically reasonable
+graphs while staying deterministic and bounded on pathological ones.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from . import periodic
+from .aromaticity import perceive_aromaticity
+from .mol import Atom, Bond, Mol, MolError
+
+_BRACKET_RE = re.compile(
+    r"\[(?P<isotope>\d+)?"
+    r"(?P<symbol>se|as|te|si|[A-Z][a-z]?|[bcnops])"
+    r"(?P<chiral>@{1,2}(?:TH\d|AL\d|SP\d|TB\d+|OH\d+)?)?"
+    r"(?P<hcount>H\d*)?"
+    r"(?P<charge>\+\d+|-\d+|\++|-+)?"
+    r"(?::(?P<map>\d+))?\]"
+)
+
+_ORGANIC_AROMATIC = {"b", "c", "n", "o", "p", "s"}
+_BOND_CHARS = {"-": 1, "=": 2, "#": 3, ":": 1, "/": 1, "\\": 1}
+
+
+class SmilesError(MolError):
+    pass
+
+
+def from_smiles(s: str, sanitize: bool = True) -> Mol:
+    """Parse a SMILES string into a sanitized Mol."""
+    mol = Mol()
+    s = s.strip()
+    if not s:
+        raise SmilesError("empty SMILES")
+
+    prev_atom: Optional[int] = None
+    pending_bond: Optional[int] = None       # explicit bond order
+    pending_aromatic_bond = False
+    stack: List[int] = []
+    ring_open: Dict[int, Tuple[int, Optional[int], bool]] = {}
+    aromatic_flags: List[bool] = []
+
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        atom_idx = None
+
+        if c == "(":
+            if prev_atom is None:
+                raise SmilesError("branch before any atom")
+            stack.append(prev_atom)
+            i += 1
+            continue
+        if c == ")":
+            if not stack:
+                raise SmilesError("unmatched ')'")
+            prev_atom = stack.pop()
+            i += 1
+            continue
+        if c == ".":
+            prev_atom = None
+            pending_bond = None
+            pending_aromatic_bond = False
+            i += 1
+            continue
+        if c in _BOND_CHARS:
+            pending_bond = _BOND_CHARS[c]
+            pending_aromatic_bond = c == ":"
+            i += 1
+            continue
+        if c.isdigit() or c == "%":
+            if c == "%":
+                if i + 2 >= n or not s[i + 1:i + 3].isdigit():
+                    raise SmilesError(f"bad ring closure at {i}")
+                num = int(s[i + 1:i + 3])
+                i += 3
+            else:
+                num = int(c)
+                i += 1
+            if prev_atom is None:
+                raise SmilesError("ring closure before any atom")
+            if num in ring_open:
+                other, open_order, open_arom = ring_open.pop(num)
+                order = pending_bond if pending_bond is not None else open_order
+                arom = (aromatic_flags[prev_atom] and aromatic_flags[other]
+                        and order is None) or pending_aromatic_bond or open_arom
+                mol.add_bond(prev_atom, other,
+                             order=order if order is not None else 1,
+                             aromatic=arom)
+            else:
+                ring_open[num] = (prev_atom, pending_bond,
+                                  pending_aromatic_bond)
+            pending_bond = None
+            pending_aromatic_bond = False
+            continue
+
+        # Atom token
+        if c == "[":
+            m = _BRACKET_RE.match(s, i)
+            if not m:
+                raise SmilesError(f"bad bracket atom at {i}: {s[i:i+12]}")
+            sym = m.group("symbol")
+            aromatic = sym[0].islower()
+            sym = sym.capitalize() if aromatic else sym
+            if sym not in periodic.ATOMIC_NUMBERS:
+                raise SmilesError(f"unknown element {sym!r}")
+            h = m.group("hcount")
+            hcount = 0 if h is None else (1 if h == "H" else int(h[1:]))
+            ch = m.group("charge") or ""
+            if ch.startswith("+"):
+                charge = int(ch[1:]) if ch[1:].isdigit() else len(ch)
+            elif ch.startswith("-"):
+                charge = -(int(ch[1:]) if ch[1:].isdigit() else len(ch))
+            else:
+                charge = 0
+            iso = int(m.group("isotope")) if m.group("isotope") else 0
+            atom_idx = mol.add_atom(Atom(sym, charge=charge,
+                                         num_explicit_hs=hcount,
+                                         aromatic=aromatic, isotope=iso))
+            aromatic_flags.append(aromatic)
+            i = m.end()
+        else:
+            two = s[i:i + 2]
+            if two in ("Cl", "Br"):
+                sym, aromatic = two, False
+                i += 2
+            elif c in "BCNOPSFI":
+                sym, aromatic = c, False
+                i += 1
+            elif c in _ORGANIC_AROMATIC:
+                sym, aromatic = c.upper(), True
+                i += 1
+            else:
+                raise SmilesError(f"unexpected character {c!r} at {i}")
+            atom_idx = mol.add_atom(Atom(sym, aromatic=aromatic))
+            aromatic_flags.append(aromatic)
+
+        if prev_atom is not None:
+            order = pending_bond
+            arom = (aromatic_flags[prev_atom] and aromatic_flags[atom_idx]
+                    and order is None) or pending_aromatic_bond
+            mol.add_bond(prev_atom, atom_idx,
+                         order=order if order is not None else 1,
+                         aromatic=arom)
+        prev_atom = atom_idx
+        pending_bond = None
+        pending_aromatic_bond = False
+
+    if ring_open:
+        raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
+    if stack:
+        raise SmilesError("unclosed branch")
+
+    if sanitize:
+        mol.sanitize()
+    return mol
+
+
+# ---------------------------------------------------------------------------
+# Canonical ranks (Morgan-style refinement with branching tie-break)
+# ---------------------------------------------------------------------------
+
+def _initial_invariants(mol: Mol) -> List[Tuple]:
+    ring_atoms = mol.ring_atom_flags()
+    inv = []
+    for i, a in enumerate(mol.atoms):
+        inv.append((a.atomic_number, mol.degree(i), a.charge, a.total_hs,
+                    a.aromatic, ring_atoms[i], a.isotope))
+    return inv
+
+
+def _refine(mol: Mol, ranks: List[int]) -> List[int]:
+    n = mol.num_atoms
+    while True:
+        keys = []
+        for i in range(n):
+            nbrs = sorted(
+                (4 if b.aromatic else b.order, ranks[b.other(i)])
+                for b in mol.bonds_of(i)
+            )
+            keys.append((ranks[i], tuple(nbrs)))
+        order = sorted(range(n), key=lambda i: keys[i])
+        new_ranks = [0] * n
+        r = 0
+        for j, i in enumerate(order):
+            if j > 0 and keys[i] != keys[order[j - 1]]:
+                r = j
+            new_ranks[i] = r
+        if new_ranks == ranks:
+            return ranks
+        ranks = new_ranks
+
+
+def canonical_ranks(mol: Mol) -> List[int]:
+    n = mol.num_atoms
+    inv = _initial_invariants(mol)
+    order = sorted(range(n), key=lambda i: inv[i])
+    ranks = [0] * n
+    r = 0
+    for j, i in enumerate(order):
+        if j > 0 and inv[i] != inv[order[j - 1]]:
+            r = j
+        ranks[i] = r
+    return _refine(mol, ranks)
+
+
+_MAX_CANON_ATTEMPTS = 128
+
+
+def to_smiles(mol: Mol, canonical: bool = True,
+              kekule: bool = False) -> str:
+    """Write a (canonical) SMILES string."""
+    if mol.num_atoms == 0:
+        return ""
+    if not canonical:
+        ranks = list(range(mol.num_atoms))
+        return _write(mol, ranks, kekule)
+    budget = [_MAX_CANON_ATTEMPTS]
+    ranks = canonical_ranks(mol)
+    s, _ = _canon_search(mol, ranks, kekule, budget)
+    return s
+
+
+def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
+                  budget: List[int]) -> Tuple[str, List[int]]:
+    n = mol.num_atoms
+    if len(set(ranks)) == n or budget[0] <= 0:
+        return _write(mol, ranks, kekule), ranks
+    # First tied class (smallest rank value with multiple members).
+    by_rank: Dict[int, List[int]] = {}
+    for i, r in enumerate(ranks):
+        by_rank.setdefault(r, []).append(i)
+    tied_rank = min(r for r, members in by_rank.items() if len(members) > 1)
+    members = by_rank[tied_rank]
+    best: Optional[Tuple[str, List[int]]] = None
+    for m in members:
+        if budget[0] <= 0 and best is not None:
+            break
+        budget[0] -= 1
+        trial = list(ranks)
+        # Promote one member strictly ahead of its class, then re-refine.
+        for i in range(n):
+            trial[i] = trial[i] * 2
+        trial[m] -= 1
+        trial = _refine(mol, trial)
+        cand = _canon_search(mol, trial, kekule, budget)
+        if best is None or cand[0] < best[0]:
+            best = cand
+    assert best is not None
+    return best
+
+
+# ---------------------------------------------------------------------------
+# SMILES generation from ranks
+# ---------------------------------------------------------------------------
+
+def _atom_token(mol: Mol, idx: int, kekule: bool) -> str:
+    a = mol.atoms[idx]
+    sym = a.symbol
+    aromatic = a.aromatic and not kekule
+    order_sum = mol.bond_order_sum(idx)
+    bare_ok = False
+    if a.charge == 0 and a.isotope == 0:
+        if aromatic:
+            deg = mol.degree(idx)
+            if sym == "C":
+                bare_ok = a.total_hs == max(0, 3 - deg)
+            elif sym in ("N", "P"):
+                bare_ok = a.total_hs == 0
+            elif sym in ("O", "S"):
+                bare_ok = a.total_hs == 0 and sym in periodic.ORGANIC_SUBSET
+            elif sym == "B":
+                bare_ok = a.total_hs == 0
+        elif sym in periodic.ORGANIC_SUBSET:
+            bare_ok = a.total_hs == periodic.implicit_hydrogens(
+                sym, 0, order_sum)
+    if bare_ok:
+        tok = sym.lower() if aromatic else sym
+        return tok
+    # Bracket form.
+    body = sym.lower() if (aromatic and sym in periodic.AROMATIC_OK) else sym
+    if a.isotope:
+        body = f"{a.isotope}{body}"
+    h = a.total_hs
+    if h == 1:
+        body += "H"
+    elif h > 1:
+        body += f"H{h}"
+    if a.charge == 1:
+        body += "+"
+    elif a.charge == -1:
+        body += "-"
+    elif a.charge > 1:
+        body += f"+{a.charge}"
+    elif a.charge < -1:
+        body += f"-{-a.charge}"
+    return f"[{body}]"
+
+
+def _bond_token(mol: Mol, bond: Bond, kekule: bool) -> str:
+    if bond.aromatic and not kekule:
+        return ""
+    order = bond.order
+    if order == 1:
+        a_arom = mol.atoms[bond.a].aromatic
+        b_arom = mol.atoms[bond.b].aromatic
+        if a_arom and b_arom and not bond.aromatic and not kekule:
+            return "-"  # biphenyl-style explicit single between rings
+        return ""
+    if order == 2:
+        if bond.aromatic and kekule:
+            return "="
+        return "="
+    if order == 3:
+        return "#"
+    return ""
+
+
+def _write(mol: Mol, ranks: List[int], kekule: bool) -> str:
+    n = mol.num_atoms
+    visited = [False] * n
+    # Ring-closure bookkeeping.
+    ring_bond_digit: Dict[int, int] = {}
+    digit_free = list(range(1, 100))
+    closures_at: Dict[int, List[Tuple[int, int]]] = {i: [] for i in range(n)}
+
+    # Determine DFS trees and back edges per fragment, in canonical order.
+    fragments: List[str] = []
+    order_all = sorted(range(n), key=lambda i: ranks[i])
+    for root in order_all:
+        if visited[root]:
+            continue
+        # First pass: discover back edges with an explicit-stack DFS that
+        # mirrors the writing pass exactly.
+        frag = _write_fragment(mol, root, ranks, visited, kekule,
+                               ring_bond_digit, digit_free, closures_at)
+        fragments.append(frag)
+    return ".".join(fragments)
+
+
+def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
+                    ring_bond_digit, digit_free, closures_at) -> str:
+    # Pass 1: find spanning tree + back edges in deterministic rank order.
+    parent_bond: Dict[int, int] = {}
+    children: Dict[int, List[Tuple[int, int]]] = {}
+    back_edges_at: Dict[int, List[Tuple[int, int]]] = {}
+    seen = {root}
+    seen_bonds = set()
+    stack = [root]
+    visit_order = []
+    while stack:
+        v = stack.pop()
+        visit_order.append(v)
+        nbrs = sorted(((mol.bonds[bi].other(v), bi)
+                       for bi in mol.bond_indices_of(v)),
+                      key=lambda t: (ranks[t[0]], t[1]))
+        for (u, bi) in reversed(nbrs):
+            if bi in seen_bonds:
+                continue
+            if u in seen:
+                seen_bonds.add(bi)
+                back_edges_at.setdefault(v, []).append((u, bi))
+                back_edges_at.setdefault(u, []).append((v, bi))
+            else:
+                seen_bonds.add(bi)
+                seen.add(u)
+                parent_bond[u] = bi
+                children.setdefault(v, []).append((u, bi))
+                stack.append(u)
+
+    # Pass 2: emit string via recursive descent in rank order.
+    out: List[str] = []
+
+    def emit(v: int) -> None:
+        visited[v] = True
+        out.append(_atom_token(mol, v, kekule))
+        # Ring closures at this atom, in first-seen order.
+        for (u, bi) in sorted(back_edges_at.get(v, []),
+                              key=lambda t: ranks[t[0]]):
+            if bi in ring_bond_digit:
+                d = ring_bond_digit.pop(bi)
+                digit_free.insert(0, d)
+                digit_free.sort()
+                out.append(_digit_str(d))
+            else:
+                d = digit_free.pop(0)
+                ring_bond_digit[bi] = d
+                out.append(_bond_token(mol, mol.bonds[bi], kekule))
+                out.append(_digit_str(d))
+        kids = sorted(children.get(v, []), key=lambda t: ranks[t[0]])
+        for k, (u, bi) in enumerate(kids):
+            bond_tok = _bond_token(mol, mol.bonds[bi], kekule)
+            if k < len(kids) - 1:
+                out.append("(")
+                out.append(bond_tok)
+                emit(u)
+                out.append(")")
+            else:
+                out.append(bond_tok)
+                emit(u)
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000))
+    try:
+        emit(root)
+    finally:
+        sys.setrecursionlimit(old)
+    return "".join(out)
+
+
+def _digit_str(d: int) -> str:
+    return str(d) if d < 10 else f"%{d:02d}"
+
+
+def canonical_smiles(s: str) -> str:
+    """Parse, re-perceive aromaticity, and emit canonical SMILES."""
+    mol = from_smiles(s)
+    # Re-perceive from the kekulized structure so equivalent aromatic and
+    # kekule inputs converge to one form.
+    perceive_aromaticity(mol)
+    return to_smiles(mol, canonical=True)
