@@ -267,5 +267,34 @@ class Mol:
         self.assign_implicit_hydrogens()
         return self
 
+    def remove_explicit_h_atoms(self) -> "Mol":
+        """Return a copy with degree-1 neutral H atoms merged away.
+
+        Mirrors RDKit's ``removeHs`` default when parsing MolBlocks: an
+        explicit hydrogen atom bonded once to a heavy atom disappears and
+        the heavy atom's hydrogen count is recomputed implicitly.
+        """
+        keep = []
+        for i, a in enumerate(self.atoms):
+            is_plain_h = (a.symbol == "H" and a.charge == 0
+                          and self.degree(i) == 1 and a.isotope == 0
+                          and self.atoms[self.neighbors(i)[0]].symbol != "H")
+            if not is_plain_h:
+                keep.append(i)
+        if len(keep) == self.num_atoms:
+            return self
+        remap = {old: new for new, old in enumerate(keep)}
+        out = Mol()
+        for old in keep:
+            a = self.atoms[old]
+            out.add_atom(Atom(a.symbol, a.charge, a.num_explicit_hs,
+                              a.aromatic, a.implicit_hs, a.x, a.y, a.isotope))
+        for b in self.bonds:
+            if b.a in remap and b.b in remap:
+                out.add_bond(remap[b.a], remap[b.b], b.order, b.aromatic,
+                             b.stereo)
+        out.assign_implicit_hydrogens()
+        return out
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"Mol(atoms={self.num_atoms}, bonds={self.num_bonds})"

@@ -186,6 +186,7 @@ def molblock_to_smiles(text: str) -> Optional[str]:
     from .smiles import to_smiles
     try:
         mol = parse_molblock(text)
+        mol = mol.remove_explicit_h_atoms()
         perceive_aromaticity(mol)
         return to_smiles(mol, canonical=True)
     except MolError:

@@ -1,0 +1,196 @@
+"""Synthetic dataset generation: molecules -> images + label strings.
+
+Parity surface with the reference generators:
+  * label-string format  sym:x,y,charge[,hnums];...  and
+    type:x,y,dx,dy,stereo,direction;...  exactly as produced by
+    /root/reference/rdkit_img_generate.py:131-180 and
+    indigo_img_generator.py:215-281 (x = row, y = col, deltas are half
+    the bond vector with the dx>=0 / direction canonicalization applied
+    downstream by the encoder).
+  * two render lineages: "rdkit" mode draws kekulized structures and
+    records kekule bond orders; "indigo" mode randomly dearomatizes and
+    otherwise records aromatic bonds as type 4 with per-atom aromatic
+    implicit-H counts (hnums) on hetero atoms.
+  * CSV columns Smiles / ID / atoms_string / bonds_string / path with a
+    two-level m/n image directory tree (rdkit_img_generate.py:219-246).
+
+Unlike the reference this generator needs no ChEMBL input: molecules come
+from chem.random_mol.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..chem import perceive_aromaticity, to_smiles
+from ..chem.mol import Atom, Mol, STEREO_HASH, STEREO_WEDGE
+from ..chem.random_mol import random_molecule
+from .layout import layout
+from .render import RenderResult, RenderStyle, render
+
+
+@dataclass
+class Sample:
+    image: np.ndarray          # (512, 512) uint8 grayscale
+    atoms_string: str
+    bonds_string: str
+    smiles: str                # canonical ground truth
+
+
+def _add_explicit_hs(mol: Mol, rng: random.Random) -> Mol:
+    """Add explicit H atoms (AddHs parity, rdkit_img_generate.py:66-67)."""
+    out = mol.copy()
+    out.assign_implicit_hydrogens()
+    for i in range(mol.num_atoms):
+        h = out.atoms[i].total_hs
+        for _ in range(h):
+            j = out.add_atom(Atom("H"))
+            out.add_bond(i, j, 1)
+        if out.atoms[i].num_explicit_hs is None:
+            out.atoms[i].num_explicit_hs = None  # recomputed by sanitize
+    out.assign_implicit_hydrogens()
+    return out
+
+
+def _decorate_stereo(mol: Mol, rng: random.Random) -> None:
+    """Mark a few eligible single bonds as wedge/hash.
+
+    The reference's stereo comes from real stereocenters via the SD block
+    (rdkit_img_generate.py:77-87); here wedge/hash decorations train the
+    same bond classes. Eligibility: acyclic single bond whose begin atom
+    is a carbon with >= 3 heavy neighbors.
+    """
+    ring_bonds = mol.ring_bond_flags()
+    for bi, b in enumerate(mol.bonds):
+        if ring_bonds[bi] or b.order != 1 or b.aromatic or b.stereo:
+            continue
+        for begin in (b.a, b.b):
+            a = mol.atoms[begin]
+            if a.symbol == "C" and mol.degree(begin) >= 3 and \
+                    rng.random() < 0.06:
+                if begin != b.a:
+                    b.a, b.b = b.b, b.a
+                b.stereo = STEREO_WEDGE if rng.random() < 0.5 else STEREO_HASH
+                break
+
+
+def generate_sample(rng: random.Random, size: int = 512,
+                    mode: str = "mixed",
+                    max_layout_tries: int = 3) -> Optional[Sample]:
+    """Generate one (image, labels, smiles) sample, or None on rejection."""
+    mol = random_molecule(rng)
+    perceive_aromaticity(mol)
+    smiles = to_smiles(mol, canonical=True)
+
+    if mode == "mixed":
+        mode = "rdkit" if rng.random() < 0.5 else "indigo"
+    # Indigo lineage randomly dearomatizes (indigo_img_generator.py:68-69).
+    aromatic_records = mode == "indigo" and rng.random() < 0.5
+
+    _decorate_stereo(mol, rng)
+
+    render_mol = mol
+    if mode == "rdkit" and rng.random() < 0.2 and mol.num_atoms < 20:
+        render_mol = _add_explicit_hs(mol, rng)
+
+    result: Optional[RenderResult] = None
+    for t in range(max_layout_tries):
+        coords = layout(render_mol, random.Random(rng.getrandbits(32)))
+        style = RenderStyle.random(rng, size)
+        result = render(render_mol, coords, style, rng,
+                        aromatic_render=aromatic_records)
+        if result is not None:
+            break
+    if result is None:
+        return None
+
+    atoms_string = _atoms_string(render_mol, result, aromatic_records)
+    bonds_string = _bonds_string(render_mol, result, aromatic_records)
+    return Sample(result.image, atoms_string, bonds_string, smiles)
+
+
+def _atoms_string(mol: Mol, result: RenderResult,
+                  aromatic_records: bool) -> str:
+    out = []
+    for i, a in enumerate(mol.atoms):
+        r, c = result.atom_rc[i]
+        fields = f"{a.symbol}:{int(r)},{int(c)},{a.charge}"
+        if aromatic_records:
+            hnums = -1
+            if a.aromatic and a.symbol != "C":
+                hnums = min(a.total_hs, 1)
+            fields += f",{hnums}"
+        out.append(fields + ";")
+    return "".join(out)
+
+
+def _bonds_string(mol: Mol, result: RenderResult,
+                  aromatic_records: bool) -> str:
+    out = []
+    for b in mol.bonds:
+        r1, c1 = result.atom_rc[b.a]
+        r2, c2 = result.atom_rc[b.b]
+        x, y = (r1 + r2) / 2, (c1 + c2) / 2
+        if b.aromatic and aromatic_records:
+            btype = 4
+        else:
+            btype = b.order
+        stereo = int(b.stereo)
+        # Reference canonicalization: direction refers to whether the
+        # stereo begin atom sits at larger row (rdkit_img_generate:166-176).
+        if r1 <= r2:
+            direction = 0
+            dx, dy = (r2 - r1) / 2, (c2 - c1) / 2
+        else:
+            direction = 1
+            dx, dy = (r1 - r2) / 2, (c1 - c2) / 2
+        out.append(f"{btype}:{int(x)},{int(y)},{int(dx)},{int(dy)},"
+                   f"{stereo},{direction};")
+    return "".join(out)
+
+
+def generate_dataset(out_dir: str, n: int, seed: int = 0,
+                     mode: str = "mixed", size: int = 512,
+                     verbose: bool = True) -> "object":
+    """Generate a dataset tree + CSV; returns the DataFrame."""
+    import cv2
+    import pandas as pd
+
+    rng = random.Random(seed)
+    rows: List[dict] = []
+    made = 0
+    attempt = 0
+    while made < n:
+        attempt += 1
+        sample = generate_sample(rng, size=size, mode=mode)
+        if sample is None:
+            continue
+        m = made % 100
+        nn = m % 10
+        m = m // 10
+        rel_dir = f"images/{m}/{nn}"
+        abs_dir = os.path.join(out_dir, rel_dir)
+        os.makedirs(abs_dir, exist_ok=True)
+        mol_id = f"ABCT{made:08d}"
+        rel_path = f"{rel_dir}/{mol_id}.png"
+        cv2.imwrite(os.path.join(out_dir, rel_path), sample.image)
+        rows.append({
+            "Smiles": sample.smiles,
+            "ID": mol_id,
+            "atoms_string": sample.atoms_string,
+            "bonds_string": sample.bonds_string,
+            "path": rel_path,
+        })
+        made += 1
+        if verbose and made % 1000 == 0:
+            print(f"generated {made}/{n} (attempts {attempt})")
+    df = pd.DataFrame(rows)
+    os.makedirs(out_dir, exist_ok=True)
+    df.to_csv(os.path.join(out_dir, "dataset.csv"), index=False)
+    return df
