@@ -1,0 +1,161 @@
+"""Multi-head U-Net keypoint detector (flax, NHWC, bf16-friendly).
+
+Topology parity with the reference production model
+(/root/reference/src/unet.py:77-119): stem DoubleConv pair at 16ch,
+encoder 16-32-64(-inc3)-128-256-512 via maxpool downs, decoder with
+k3 s2 transposed convs + skip concat, two trailing DoubleConvs at 128ch,
+and one OutConv head per output group — all heads at stride 4 (128x128
+for 512x512 inputs). 10,698,575 parameters for the production config
+heads=(1,14,3,2,1,360,60,60) incl. the 10 learned homoscedastic
+uncertainty weights ``s`` (unet.py:82).
+
+TPU-first departures from the reference implementation (not topology):
+NHWC layout, optional bfloat16 compute with f32 params/BN stats, and the
+k3 s2 transposed conv's odd-size output (2H+1) cropped with lax.pad
+negative padding to match the skip — reproducing torch's
+F.pad([-1, 0]) semantics (unet.py:51-55) without host logic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+PRODUCTION_HEADS: Tuple[int, ...] = (1, 14, 3, 2, 1, 360, 60, 60)
+LEGACY_HEADS: Tuple[int, ...] = (1, 20, 5, 1, 90, 90, 30, 30)
+
+HEAD_NAMES = ("atom_target", "atom_type", "atom_charge", "atom_hs",
+              "bond_target", "bond_type", "bond_rho", "bond_omega")
+
+
+class DoubleConv(nn.Module):
+    """(conv k -> BN -> ReLU) x2  (reference unet.py:6-21)."""
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for _ in range(2):
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        padding="SAME", dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32)(x)
+            x = nn.relu(x)
+            x = x.astype(self.dtype)
+        return x
+
+
+class Down(nn.Module):
+    """MaxPool 2x2 then DoubleConv (unet.py:24-35)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.features, dtype=self.dtype)(x, train)
+
+
+def _crop_or_pad_to(x, target_h: int, target_w: int):
+    """Match spatial dims to the skip tensor, reproducing the reference's
+    asymmetric F.pad (unet.py:51-55): amounts (d//2, d - d//2), negative
+    values crop."""
+    dh = target_h - x.shape[1]
+    dw = target_w - x.shape[2]
+    cfg = [(0, 0, 0), (dh // 2, dh - dh // 2, 0),
+           (dw // 2, dw - dw // 2, 0), (0, 0, 0)]
+    return jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)
+
+
+class Up(nn.Module):
+    """Transposed conv k3 s2 (channels halved), crop/pad to skip, concat,
+    DoubleConv (unet.py:38-60)."""
+    in_features: int
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        x = nn.ConvTranspose(self.in_features // 2, (3, 3), strides=(2, 2),
+                             padding="VALID", dtype=self.dtype)(x)
+        x = _crop_or_pad_to(x, skip.shape[1], skip.shape[2])
+        x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+        return DoubleConv(self.out_features, dtype=self.dtype)(x, train)
+
+
+class OutConv(nn.Module):
+    """Conv3x3 -> BN -> LeakyReLU -> Dropout(0.2) -> Conv1x1 (unet.py:63-74)."""
+    in_features: int
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.in_features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(x)
+        x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = nn.Conv(self.out_features, (1, 1), dtype=self.dtype)(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Production multi-head U-Net.
+
+    Input: NHWC float images (B, 512, 512, 1).
+    Output: dict head_name -> (B, 128, 128, width) float32 logits, plus
+    the learned uncertainty vector ``s`` under param collection.
+    """
+    heads: Sequence[int] = PRODUCTION_HEADS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        # Learned homoscedastic uncertainty weights (unet.py:82).
+        self.param("s", lambda key: jax.random.normal(key, (10,)) / 100.0)
+
+        x1 = DoubleConv(16, dtype=self.dtype, name="inc1")(x, train)
+        x1 = DoubleConv(16, dtype=self.dtype, name="inc2")(x1, train)
+        x2 = Down(32, dtype=self.dtype, name="down1")(x1, train)
+        x3 = Down(64, dtype=self.dtype, name="down2")(x2, train)
+        x3 = DoubleConv(64, dtype=self.dtype, name="inc3")(x3, train)
+        x4 = Down(128, dtype=self.dtype, name="down3")(x3, train)
+        x5 = Down(256, dtype=self.dtype, name="down4")(x4, train)
+        x6 = Down(512, dtype=self.dtype, name="down5")(x5, train)
+
+        y = Up(512, 256, dtype=self.dtype, name="up1")(x6, x5, train)
+        y = Up(256, 128, dtype=self.dtype, name="up2")(y, x4, train)
+        y = Up(128, 128, dtype=self.dtype, name="up3")(y, x3, train)
+        y = DoubleConv(128, dtype=self.dtype, name="dconv1")(y, train)
+        y = DoubleConv(128, dtype=self.dtype, name="dconv2")(y, train)
+
+        out = {}
+        names = HEAD_NAMES if len(self.heads) == len(HEAD_NAMES) else [
+            f"head{i}" for i in range(len(self.heads))]
+        for name, width in zip(names, self.heads):
+            out[name] = OutConv(128, width, dtype=self.dtype,
+                                name=f"out_{name}")(y, train).astype(
+                                    jnp.float32)
+        return out
+
+
+def create_unet(heads: Sequence[int] = PRODUCTION_HEADS,
+                dtype: Any = jnp.float32) -> UNet:
+    return UNet(heads=tuple(heads), dtype=dtype)
+
+
+def init_unet(rng, model: UNet, input_shape=(1, 512, 512, 1)):
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros(input_shape, jnp.float32), train=False)
+    return variables
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
