@@ -1,0 +1,162 @@
+"""On-device CenterNet target construction from compact labels.
+
+TPU-first redesign of the reference's per-sample CPU encoding loops
+(/root/reference/src/utils.py:83-228): instead of materializing ~24 MB of
+dense targets per sample in dataloader workers and shipping them to the
+device, we ship a few hundred ints per sample (see
+data/encode.py:compact_labels) and scatter-build the dense maps inside
+XLA. Semantics match the reference encoding (3x3 halos 0.8/0.5, center
+1.0, circular 60-bin omega rows with wrap, spatial edges clamped) with
+one deliberate divergence: overlapping writes combine with max() instead
+of sequential last-write-wins — strictly more consistent for CenterNet
+supervision and order-independent, as scatter must be.
+
+The full (6,60,128,128) bond_type tensor is intentionally NOT built for
+training: the focal CE over it is positive-term-only, so the fused loss
+gathers predictions at labeled cells instead (ops/losses.py). Here we
+provide it optionally for golden tests and evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import vocab
+
+G = vocab.GRID
+NO = vocab.NUM_OMEGA_BINS
+
+# 3x3 (spatial) and 3x3x3 (omega x spatial) halo offset tables.
+_OFF2 = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                 np.int32)                      # (9, 2)
+_OFF3 = np.array([(do, dx, dy) for do in (-1, 0, 1)
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                 np.int32)                      # (27, 3)
+_CENTER2 = np.all(_OFF2 == 0, axis=1)           # (9,)
+_CENTER3 = np.all(_OFF3 == 0, axis=1)           # (27,)
+
+
+def _scatter_max2(canvas, xs, ys, vals):
+    """Scatter-max into (..., G, G); OOB indices dropped."""
+    return canvas.at[xs, ys].max(vals, mode="drop")
+
+
+def build_atom_maps(atoms: jnp.ndarray, n_atoms: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """atoms: int32 [A, 5] = (x, y, type, charge, hs); padding rows
+    ignored via n_atoms mask. Returns dense maps (no batch dim)."""
+    A = atoms.shape[0]
+    valid = (jnp.arange(A) < n_atoms)
+    x = atoms[:, 0]
+    y = atoms[:, 1]
+    # Invalid rows pushed out of bounds so the scatter drops them.
+    x = jnp.where(valid, x, -10_000)
+
+    off = jnp.asarray(_OFF2)                     # (9, 2)
+    hx = x[:, None] + off[None, :, 0]            # (A, 9)
+    hy = y[:, None] + off[None, :, 1]
+    center = jnp.asarray(_CENTER2)[None, :]
+
+    heat_vals = jnp.where(center, 1.0, 0.8).astype(jnp.float32)
+    heat_vals = jnp.broadcast_to(heat_vals, hx.shape)
+    atom_target = _scatter_max2(jnp.zeros((G, G), jnp.float32),
+                                hx.reshape(-1), hy.reshape(-1),
+                                heat_vals.reshape(-1))
+
+    cls_vals = jnp.where(center, 1.0, 0.5).astype(jnp.float32)
+    cls_vals = jnp.broadcast_to(cls_vals, hx.shape)
+
+    def class_map(channel_idx, n_classes):
+        ch = jnp.broadcast_to(channel_idx[:, None], hx.shape)
+        canvas = jnp.zeros((n_classes, G, G), jnp.float32)
+        return canvas.at[ch.reshape(-1), hx.reshape(-1),
+                         hy.reshape(-1)].max(cls_vals.reshape(-1),
+                                             mode="drop")
+
+    atom_type = class_map(atoms[:, 2], vocab.NUM_ATOM_CLASSES)
+    atom_charge = class_map(atoms[:, 3], vocab.NUM_CHARGE_CLASSES)
+    # hs == -1 rows dropped by pushing the channel out of bounds.
+    hs_ch = jnp.where(atoms[:, 4] >= 0, atoms[:, 4], 10_000)
+    atom_hs = class_map(hs_ch, vocab.NUM_HS_CLASSES)
+    return {
+        "atom_target": atom_target[None],        # (1, G, G) as reference
+        "atom_type": atom_type,
+        "atom_charge": atom_charge,
+        "atom_hs": atom_hs,
+    }
+
+
+def build_bond_maps(bonds_i: jnp.ndarray, bonds_f: jnp.ndarray,
+                    n_bonds: jnp.ndarray,
+                    with_full_type: bool = False) -> Dict[str, jnp.ndarray]:
+    """bonds_i: int32 [Bn, 4] = (x, y, type_idx, omega_idx) with plain
+    bonds already direction-duplicated; bonds_f: [Bn, 1] = rho."""
+    Bn = bonds_i.shape[0]
+    valid = (jnp.arange(Bn) < n_bonds)
+    x = jnp.where(valid, bonds_i[:, 0], -10_000)
+    y = bonds_i[:, 1]
+    t = bonds_i[:, 2]
+    o = bonds_i[:, 3]
+    rho = bonds_f[:, 0]
+
+    off2 = jnp.asarray(_OFF2)
+    hx2 = x[:, None] + off2[None, :, 0]
+    hy2 = y[:, None] + off2[None, :, 1]
+    center2 = jnp.asarray(_CENTER2)[None, :]
+    heat_vals = jnp.broadcast_to(
+        jnp.where(center2, 1.0, 0.8).astype(jnp.float32), hx2.shape)
+    bond_target = _scatter_max2(jnp.zeros((G, G), jnp.float32),
+                                hx2.reshape(-1), hy2.reshape(-1),
+                                heat_vals.reshape(-1))
+
+    off3 = jnp.asarray(_OFF3)
+    ho = jnp.mod(o[:, None] + off3[None, :, 0], NO)   # circular omega
+    hx3 = x[:, None] + off3[None, :, 1]               # spatial clamped/drop
+    hy3 = y[:, None] + off3[None, :, 2]
+    center3 = jnp.asarray(_CENTER3)[None, :]
+
+    omega_vals = jnp.broadcast_to(
+        jnp.where(center3, 1.0, 0.8).astype(jnp.float32), ho.shape)
+    bond_omega = jnp.zeros((NO, G, G), jnp.float32).at[
+        ho.reshape(-1), hx3.reshape(-1), hy3.reshape(-1)].max(
+            omega_vals.reshape(-1), mode="drop")
+
+    rho_vals = jnp.broadcast_to(rho[:, None], ho.shape)
+    bond_rho = jnp.zeros((NO, G, G), jnp.float32).at[
+        ho.reshape(-1), hx3.reshape(-1), hy3.reshape(-1)].max(
+            rho_vals.reshape(-1), mode="drop")
+
+    type_vals = jnp.broadcast_to(
+        jnp.where(center3, 1.0, 0.5).astype(jnp.float32), ho.shape)
+    bond_type_mass = jnp.zeros((NO, G, G), jnp.float32).at[
+        ho.reshape(-1), hx3.reshape(-1), hy3.reshape(-1)].max(
+            type_vals.reshape(-1), mode="drop")
+
+    out = {
+        "bond_target": bond_target[None],
+        "bond_omega": bond_omega,
+        "bond_rho": bond_rho,
+        "bond_type_mass": bond_type_mass,
+    }
+    if with_full_type:
+        ch = jnp.broadcast_to(t[:, None], ho.shape)
+        bond_type = jnp.zeros((vocab.NUM_BOND_CLASSES, NO, G, G),
+                              jnp.float32).at[
+            ch.reshape(-1), ho.reshape(-1), hx3.reshape(-1),
+            hy3.reshape(-1)].max(type_vals.reshape(-1), mode="drop")
+        out["bond_type"] = bond_type
+    return out
+
+
+def build_targets(batch: Dict[str, jnp.ndarray],
+                  with_full_type: bool = False) -> Dict[str, jnp.ndarray]:
+    """Batched target construction. batch contains compact label arrays
+    with a leading batch dim (atoms, n_atoms, bonds_i, bonds_f, n_bonds)."""
+    atom_maps = jax.vmap(build_atom_maps)(batch["atoms"], batch["n_atoms"])
+    bond_maps = jax.vmap(
+        lambda bi, bf, nb: build_bond_maps(bi, bf, nb, with_full_type)
+    )(batch["bonds_i"], batch["bonds_f"], batch["n_bonds"])
+    return {**atom_maps, **bond_maps}
