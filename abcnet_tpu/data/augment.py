@@ -31,19 +31,19 @@ def augment_np(img_u8: np.ndarray, rng: np.random.Generator,
                amount: float = 0.2, size: int = 512,
                train: bool = True) -> Tuple[np.ndarray, AugmentParams]:
     """Returns (binary float32 [1, size, size] foreground mask, params)."""
-    import cv2
+    from . import raster
 
-    temp = img_u8.astype("float32")
+    temp = img_u8
     scale_x = 1.0
     scale_y = 1.0
     if train and rng.random() < 0.2:
         if rng.random() < 0.5:
             scale_x = rng.uniform(0.8, 1.0)
-            # cv2.resize dsize is (width, height); scale_x scales rows.
-            temp = cv2.resize(temp, (size, int(scale_x * size)))
+            temp = raster.resize(temp, (int(scale_x * size), size))
         else:
             scale_y = rng.uniform(0.8, 1.0)
-            temp = cv2.resize(temp, (int(scale_y * size), size))
+            temp = raster.resize(temp, (size, int(scale_y * size)))
+    temp = temp.astype(np.float32)
 
     ddx = (size - temp.shape[0]) // 2
     ddy = (size - temp.shape[1]) // 2
@@ -68,9 +68,10 @@ def augment_np(img_u8: np.ndarray, rng: np.random.Generator,
 def binarize_test_np(img_u8: np.ndarray, threshold: float = 0.2,
                      size: int = 512) -> np.ndarray:
     """Inference-time binarization (utils_for_test.py:22-28): fg = ink."""
-    import cv2
+    from . import raster
     img = img_u8
     if img.shape != (size, size):
-        img = cv2.resize(img.astype("float32"), (size, size))
-    ink = 1.0 - ((img / 255.0) > threshold).astype(np.float32)
+        img = raster.resize(img, (size, size))
+    ink = 1.0 - ((img.astype(np.float32) / 255.0) > threshold).astype(
+        np.float32)
     return ink[None]

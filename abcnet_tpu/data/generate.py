@@ -159,8 +159,9 @@ def generate_dataset(out_dir: str, n: int, seed: int = 0,
                      mode: str = "mixed", size: int = 512,
                      verbose: bool = True) -> "object":
     """Generate a dataset tree + CSV; returns the DataFrame."""
-    import cv2
     import pandas as pd
+
+    from . import raster
 
     rng = random.Random(seed)
     rows: List[dict] = []
@@ -179,7 +180,7 @@ def generate_dataset(out_dir: str, n: int, seed: int = 0,
         os.makedirs(abs_dir, exist_ok=True)
         mol_id = f"ABCT{made:08d}"
         rel_path = f"{rel_dir}/{mol_id}.png"
-        cv2.imwrite(os.path.join(out_dir, rel_path), sample.image)
+        raster.imwrite(os.path.join(out_dir, rel_path), sample.image)
         rows.append({
             "Smiles": sample.smiles,
             "ID": mol_id,

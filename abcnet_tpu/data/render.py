@@ -1,11 +1,13 @@
 """Molecule rasterization: graph + 2-D layout -> grayscale training image.
 
 Replaces the reference's RDKit-SVG (rdkit_img_generate.py:89-126) and
-Indigo-PNG (indigo_img_generator.py:51-183) renderers with a direct
-OpenCV rasterizer. Style is randomized per image the same way the
-reference randomizes renderer options: bond line width 1-5, multiple-bond
-offset 0.1-0.25 of bond length, global rotation, label modes
-(all / terminal-hetero / hetero), bold-ish fonts, padding.
+Indigo-PNG (indigo_img_generator.py:51-183) renderers with the
+framework's own PIL/numpy rasterizer (data/raster.py). Style is
+randomized per image the same way the reference randomizes renderer
+options: bond line width 1-5, multiple-bond offset 0.1-0.25 of bond
+length, global rotation, label modes (all / terminal-hetero / hetero),
+four font families (bold variants playing the reference's 25 % bold-font
+role), padding.
 
 Returns the image plus per-atom pixel coordinates in the reference's
 (row, col) convention (rdkit_img_generate.py:132: x = vertical).
@@ -18,17 +20,16 @@ import random
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
-import cv2
 import numpy as np
 
 from ..chem.mol import Mol, STEREO_HASH, STEREO_WEDGE
+from . import raster
 
-_FONTS = [
-    cv2.FONT_HERSHEY_SIMPLEX,
-    cv2.FONT_HERSHEY_DUPLEX,
-    cv2.FONT_HERSHEY_TRIPLEX,
-    cv2.FONT_HERSHEY_COMPLEX,
-]
+_FONTS = list(raster.FONT_FAMILIES)
+
+# Nominal glyph height in px at font_scale == 1 (matches cv2's Hershey
+# metrics closely enough that the reference's scale range carries over).
+_BASE_FONT_PX = 24
 
 
 @dataclass
@@ -38,11 +39,15 @@ class RenderStyle:
     multiple_bond_offset: float = 0.18   # fraction of bond length
     rotation: float = 0.0                # radians
     label_mode: str = "hetero"           # all | terminal-hetero | hetero
-    font: int = cv2.FONT_HERSHEY_SIMPLEX
+    font: str = "DejaVuSans.ttf"
     font_scale: float = 0.9
     font_thickness: int = 1
     padding: float = 0.12                # fraction of canvas
     aromatic_circles: bool = False       # dashed inner line if False
+
+    @property
+    def font_px(self) -> int:
+        return max(8, int(round(_BASE_FONT_PX * self.font_scale)))
 
     @staticmethod
     def random(rng: random.Random, size: int = 512) -> "RenderStyle":
@@ -144,7 +149,7 @@ def render(mol: Mol, coords: Sequence[Tuple[float, float]],
             cols.min() <= 4 or cols.max() >= size - 4:
         return None
 
-    img = np.full((size, size), 255, np.uint8)
+    canvas = raster.Canvas(size, supersample=2)
 
     bond_lens = []
     for b in mol.bonds:
@@ -176,8 +181,8 @@ def render(mol: Mol, coords: Sequence[Tuple[float, float]],
             continue
         parts = _label_parts(mol, i)
         labels.append(parts)
-        (w, h), _ = cv2.getTextSize(mol.atoms[i].symbol, style.font,
-                                    style.font_scale, style.font_thickness)
+        w, h = raster.text_size(mol.atoms[i].symbol, style.font,
+                                style.font_px)
         label_radius[i] = max(w, h) * 0.75
 
     def endpoint(a: int, b: int) -> Tuple[float, float]:
@@ -189,10 +194,7 @@ def render(mol: Mol, coords: Sequence[Tuple[float, float]],
         return ra + (rb - ra) * t, ca + (cb - ca) * t
 
     def draw_line(p, q, width=None):
-        cv2.line(img,
-                 (int(round(p[1])), int(round(p[0]))),
-                 (int(round(q[1])), int(round(q[0]))),
-                 0, width or style.bond_width, cv2.LINE_AA)
+        canvas.line(p, q, width or style.bond_width)
 
     off = style.multiple_bond_offset * bond_px
 
@@ -217,13 +219,12 @@ def render(mol: Mol, coords: Sequence[Tuple[float, float]],
             wwide = max(4.0, 0.18 * dlen)
             a0 = endpoint(b.a, b.b)
             b0 = endpoint(b.b, b.a)
-            tri = np.array([
-                [a0[1] - uc * wnarrow / 2, a0[0] - ur * wnarrow / 2],
-                [a0[1] + uc * wnarrow / 2, a0[0] + ur * wnarrow / 2],
-                [b0[1] + uc * wwide / 2, b0[0] + ur * wwide / 2],
-                [b0[1] - uc * wwide / 2, b0[0] - ur * wwide / 2],
-            ], np.int32)
-            cv2.fillPoly(img, [tri], 0, cv2.LINE_AA)
+            canvas.polygon([
+                (a0[0] - ur * wnarrow / 2, a0[1] - uc * wnarrow / 2),
+                (a0[0] + ur * wnarrow / 2, a0[1] + uc * wnarrow / 2),
+                (b0[0] + ur * wwide / 2, b0[1] + uc * wwide / 2),
+                (b0[0] - ur * wwide / 2, b0[1] - uc * wwide / 2),
+            ])
         elif b.stereo == STEREO_HASH:
             nticks = max(4, int(dlen / 5))
             for k in range(nticks + 1):
@@ -237,7 +238,7 @@ def render(mol: Mol, coords: Sequence[Tuple[float, float]],
         elif b.aromatic and aromatic_render:
             # Aromatic render: solid main line + dashed inner line.
             draw_line(p, q)
-            _dashed(img, (p[0] + ur * off, p[1] + uc * off),
+            _dashed(canvas, (p[0] + ur * off, p[1] + uc * off),
                     (q[0] + ur * off, q[1] + uc * off),
                     style.bond_width, shrink=0.15)
         elif b.order == 1:
@@ -266,13 +267,14 @@ def render(mol: Mol, coords: Sequence[Tuple[float, float]],
     for i, parts in enumerate(labels):
         if parts is None:
             continue
-        _draw_label(img, mol, i, parts, rows[i], cols[i], style)
+        _draw_label(canvas, mol, i, parts, rows[i], cols[i], style)
 
-    return RenderResult(image=img, atom_rc=list(zip(rows, cols)),
+    return RenderResult(image=canvas.to_array(),
+                        atom_rc=list(zip(rows, cols)),
                         bond_px=bond_px)
 
 
-def _dashed(img, p, q, width, shrink=0.0, dashes=4):
+def _dashed(canvas, p, q, width, shrink=0.0, dashes=4):
     dr, dc = q[0] - p[0], q[1] - p[1]
     p = (p[0] + dr * shrink, p[1] + dc * shrink)
     q = (q[0] - dr * shrink, q[1] - dc * shrink)
@@ -280,23 +282,20 @@ def _dashed(img, p, q, width, shrink=0.0, dashes=4):
     for k in range(dashes):
         t0 = k / dashes
         t1 = t0 + 0.6 / dashes
-        cv2.line(img,
-                 (int(round(p[1] + dc * t0)), int(round(p[0] + dr * t0))),
-                 (int(round(p[1] + dc * t1)), int(round(p[0] + dr * t1))),
-                 0, width, cv2.LINE_AA)
+        canvas.line((p[0] + dr * t0, p[1] + dc * t0),
+                    (p[0] + dr * t1, p[1] + dc * t1), width)
 
 
-def _draw_label(img, mol, idx, parts, row, col, style: RenderStyle):
-    font, fs, ft = style.font, style.font_scale, style.font_thickness
-    sub_fs = fs * 0.62
-    sup_fs = fs * 0.62
+def _draw_label(canvas, mol, idx, parts, row, col, style: RenderStyle):
+    font = style.font
+    px = style.font_px
+    sub_px = max(7, int(px * 0.62))
 
     # Measure parts.
     sizes = []
     for text, kind in parts:
-        scale = fs if kind in ("sym", "h") else sub_fs
-        (w, h), base = cv2.getTextSize(text, font, scale, ft)
-        sizes.append((w, h))
+        scale = px if kind in ("sym", "h") else sub_px
+        sizes.append(raster.text_size(text, font, scale))
     sym_w, sym_h = sizes[0]
 
     total_w = sum(w for (w, h) in sizes)
@@ -306,23 +305,15 @@ def _draw_label(img, mol, idx, parts, row, col, style: RenderStyle):
 
     # White backing patch.
     pad = max(2, int(sym_h * 0.25))
-    x_min = int(x0) - pad
-    x_max = int(x0 + total_w) + pad
-    y_min = int(y_base - sym_h) - pad
-    y_max = int(y_base) + pad
-    cv2.rectangle(img, (x_min, y_min), (x_max, y_max), 255, -1)
+    canvas.rectangle((y_base - sym_h - pad, x0 - pad),
+                     (y_base + pad, x0 + total_w + pad), 255)
 
     x = x0
     for (text, kind), (w, h) in zip(parts, sizes):
         if kind in ("sym", "h"):
-            cv2.putText(img, text, (int(round(x)), int(round(y_base))),
-                        font, fs, 0, ft, cv2.LINE_AA)
+            canvas.text(text, (y_base - h, x), font, px)
         elif kind == "sub":
-            cv2.putText(img, text,
-                        (int(round(x)), int(round(y_base + h * 0.35))),
-                        font, sub_fs, 0, ft, cv2.LINE_AA)
+            canvas.text(text, (y_base - h + h * 0.35, x), font, sub_px)
         else:  # sup
-            cv2.putText(img, text,
-                        (int(round(x)), int(round(y_base - sym_h * 0.6))),
-                        font, sup_fs, 0, ft, cv2.LINE_AA)
+            canvas.text(text, (y_base - sym_h * 0.6 - h, x), font, sub_px)
         x += w
