@@ -1,0 +1,164 @@
+"""Command-line surface — the reference's script entry points, unified.
+
+Maps one-to-one onto the reference's scripts:
+  gen         rdkit_img_generate.py / indigo_img_generator.py
+  train       src/train.py (single chip) / src/multi_gpu_train2.py (mesh)
+  img2smiles  src/img2smiles2.py (+ multi_proc variants)
+  cal-acc     src/cal_acc.py
+  bench       (new) throughput benchmark
+
+Unlike the reference — module-level script code with hardcoded paths
+(SURVEY.md section 5, "Config") — every knob is an explicit flag with
+the reference's defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _cmd_gen(args) -> None:
+    from .data.generate import generate_dataset
+    generate_dataset(args.out, args.n, seed=args.seed, mode=args.mode)
+    print(f"wrote {args.n} samples to {args.out}")
+
+
+def _cmd_train(args) -> None:
+    import random
+
+    from .data import pipeline
+    from .train.trainer import TrainConfig, fit
+
+    cfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
+                      epochs=args.epochs, amount=args.amount,
+                      seed=args.seed, ckpt_dir=args.ckpt,
+                      dtype=args.dtype)
+    if args.data:
+        samples = pipeline.load_csv_dataset(
+            os.path.join(args.data, "dataset.csv"))
+        rng = random.Random(args.seed)
+        examples = [pipeline.sample_to_example(s, rng, train=True)
+                    for s in samples]
+    else:
+        examples = pipeline.generate_examples(args.synthetic,
+                                              seed=args.seed)
+    n_test = max(len(examples) // 90, 1) if args.test_split else 0
+    test = examples[:n_test] if n_test else None
+    train = examples[n_test:]
+    print(f"training on {len(train)} examples, eval on {n_test}")
+    fit(cfg, train, test)
+
+
+def _cmd_img2smiles(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data import pipeline
+    from .eval.scoring import score_pairs, write_results_csv
+    from .infer import assemble_batch, extract_peaks
+    from .train.trainer import (TrainConfig, create_state,
+                                restore_checkpoint)
+
+    csv_path = os.path.join(args.data, "dataset.csv")
+    if not os.path.exists(csv_path):
+        sys.exit(f"error: dataset csv not found: {csv_path}")
+
+    cfg = TrainConfig(dtype=args.dtype)
+    state = create_state(cfg)
+    if args.ckpt:
+        state = restore_checkpoint(state, args.ckpt)
+
+    samples = pipeline.load_csv_dataset(csv_path)
+
+    @jax.jit
+    def run(image_u8):
+        images = pipeline.device_preprocess(image_u8,
+                                            jax.random.PRNGKey(0),
+                                            train=False)
+        preds = state.apply_fn({"params": state.params,
+                                "batch_stats": state.batch_stats},
+                               images, train=False)
+        return extract_peaks(preds)
+
+    truths, preds_all = [], []
+    bs = args.batch_size
+    for i in range(0, len(samples) - bs + 1, bs):
+        chunk = samples[i:i + bs]
+        imgs = jnp.asarray(np.stack([s.image for s in chunk]))
+        peaks = run(imgs)
+        preds_all.extend(assemble_batch(peaks, processes=args.processes))
+        truths.extend(s.smiles for s in chunk)
+        if (i // bs) % 10 == 0:
+            print(f"{i + bs}/{len(samples)}")
+    write_results_csv(args.out, truths, preds_all)
+    print(score_pairs(truths, preds_all))
+
+
+def _cmd_cal_acc(args) -> None:
+    import pandas as pd
+
+    from .eval.scoring import score_pairs
+    df = pd.read_csv(args.results)
+    preds = [p if isinstance(p, str) and p else None
+             for p in df["smiles_pred"]]
+    print(score_pairs(list(df["smiles"]), preds))
+
+
+def _cmd_bench(args) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    bench.main()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="abcnet_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a synthetic dataset")
+    g.add_argument("--out", required=True)
+    g.add_argument("-n", type=int, default=1000)
+    g.add_argument("--mode", default="mixed",
+                   choices=["mixed", "rdkit", "indigo"])
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=_cmd_gen)
+
+    t = sub.add_parser("train", help="train the U-Net")
+    t.add_argument("--data", help="dataset dir (omit to generate)")
+    t.add_argument("--synthetic", type=int, default=2000,
+                   help="#examples to generate when --data omitted")
+    t.add_argument("-b", "--batch-size", type=int, default=64)
+    t.add_argument("--lr", type=float, default=2.5e-4)
+    t.add_argument("--epochs", type=int, default=30)
+    t.add_argument("--amount", type=float, default=0.2)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--ckpt", help="checkpoint dir")
+    t.add_argument("--dtype", default="bfloat16")
+    t.add_argument("--test-split", action="store_true", default=True)
+    t.set_defaults(fn=_cmd_train)
+
+    i = sub.add_parser("img2smiles", help="decode a dataset to SMILES")
+    i.add_argument("--data", required=True)
+    i.add_argument("--ckpt")
+    i.add_argument("--out", default="results.csv")
+    i.add_argument("-b", "--batch-size", type=int, default=64)
+    i.add_argument("--processes", type=int, default=0)
+    i.add_argument("--dtype", default="bfloat16")
+    i.set_defaults(fn=_cmd_img2smiles)
+
+    c = sub.add_parser("cal-acc", help="score a results csv")
+    c.add_argument("results")
+    c.set_defaults(fn=_cmd_cal_acc)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

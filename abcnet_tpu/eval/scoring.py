@@ -1,0 +1,79 @@
+"""End-to-end SMILES scoring — parity with the reference's cal_acc.py.
+
+The reference computes three numbers over (smiles, smiles_pred) pairs
+(/root/reference/src/cal_acc.py:13-51):
+  1. exact match after tautomer canonicalization of both sides
+  2. exact match of canonical non-isomeric SMILES
+  3. mean Morgan(radius 3) Dice similarity
+
+This framework scores with its own chem stack (no RDKit): metrics 2 and
+3 are reproduced directly. Metric 1's tautomer canonicalization
+(MolStandardize) is not yet reimplemented — exact_match here is the
+stricter canonical-SMILES match (metric 2), so reported accuracy is a
+lower bound on the reference's metric 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+from ..chem import canonical_smiles, from_smiles
+from ..chem.fingerprint import morgan_dice
+
+
+@dataclass
+class ScoreReport:
+    n: int
+    n_decoded: int
+    exact_match: float           # canonical exact match rate
+    tanimoto_like: float         # mean Morgan-Dice (0 for failed decodes)
+    decode_rate: float
+
+    def __str__(self) -> str:
+        return (f"n={self.n} decoded={self.n_decoded} "
+                f"exact={self.exact_match:.4f} "
+                f"dice={self.tanimoto_like:.4f} "
+                f"decode_rate={self.decode_rate:.4f}")
+
+
+def score_pairs(truths: Sequence[str],
+                preds: Sequence[Optional[str]]) -> ScoreReport:
+    assert len(truths) == len(preds)
+    n = len(truths)
+    hits = 0
+    dice_sum = 0.0
+    decoded = 0
+    for truth, pred in zip(truths, preds):
+        if pred is None:
+            continue
+        decoded += 1
+        try:
+            ct = canonical_smiles(truth)
+            cp = canonical_smiles(pred)
+        except Exception:
+            continue
+        if ct == cp:
+            hits += 1
+            dice_sum += 1.0
+            continue
+        try:
+            dice_sum += morgan_dice(from_smiles(truth), from_smiles(pred))
+        except Exception:
+            pass
+    return ScoreReport(
+        n=n, n_decoded=decoded,
+        exact_match=hits / n if n else 0.0,
+        tanimoto_like=dice_sum / n if n else 0.0,
+        decode_rate=decoded / n if n else 0.0,
+    )
+
+
+def write_results_csv(path: str, truths: Sequence[str],
+                      preds: Sequence[Optional[str]]) -> None:
+    """results/results.csv parity (img2smiles2.py:342-344)."""
+    import pandas as pd
+    df = pd.DataFrame({"smiles": list(truths),
+                       "smiles_pred": ["" if p is None else p
+                                       for p in preds]})
+    df.to_csv(path)

@@ -1,0 +1,188 @@
+"""Host-side graph assembly: compact peak arrays -> canonical SMILES.
+
+Parity surface: the tail of the reference decode loop
+(/root/reference/src/img2smiles2.py:171-317) and its MolBlock writer
+(src/generate_smiles.py:10-119):
+
+  * atom peak dedup at squared distance < 4, first-in-scan-order wins
+    (img2smiles2.py:181-186)
+  * bond endpoint -> atom matching with the anisotropic leaky-relu score
+    (img2smiles2.py:20-22, 193-210): overshoot along the bond axis is
+    half-penalized, perpendicular error double-penalized
+  * self-loop and duplicate-pair removal (img2smiles2.py:217-231)
+  * valence sanity fixups rewriting the element by observed valence
+    (img2smiles2.py:247-271), unbonded-atom removal + 1-based reindex
+    (img2smiles2.py:236-245, 273-297)
+  * aromatic-heteroatom implicit-H collection (img2smiles2.py:299-311)
+  * V2000 MolBlock with MRV_IMPLICIT_H Sgroups -> canonical SMILES —
+    via the framework's own chem stack instead of RDKit.
+
+The reference fans this loop out over a Pool(32) of CPU workers
+(src/multi_proc_img2smiles2.py:268-300); `assemble_batch` keeps that
+option but the per-image cost here is tiny because the device already
+reduced maps to peaks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..chem.molblock import parse_molblock, write_molblock
+from ..chem.smiles import to_smiles
+from ..data import vocab
+
+# Reference valence table (img2smiles2.py:32-34).
+ATOM_MAX_VALENCE = {
+    "<unknown>": 4, "O": 2, "C": 4, "N": 3, "F": 1, "H": 1, "S": 6,
+    "Cl": 1, "P": 5, "Br": 1, "B": 3, "I": 1, "Si": 4, "Se": 6,
+    "Te": 6, "As": 3, "Al": 3, "Zn": 2, "Ca": 2, "Ag": 1,
+}
+
+# Observed-valence -> element rewrite (img2smiles2.py:258-271).
+_VALENCE_REWRITE = {2: "O", 3: "N", 4: "C", 5: "P", 6: "S", 7: "Cl"}
+
+
+def _leaky_relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, 0.5 * x)
+
+
+def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
+                    verbose: bool = False) -> Optional[str]:
+    """Decode one image's peaks (row `index` of the batch arrays)."""
+    av = peaks["atom_valid"][index]
+    bv = peaks["bond_valid"][index]
+    if not av.any() or not bv.any():
+        return None
+
+    # -- atoms: reference iterates nonzero() in row-major scan order and
+    # dedups at d^2 < 4 keeping the first (img2smiles2.py:177-191).
+    axy = peaks["atom_xy"][index][av]
+    a_type = peaks["atom_type"][index][av]
+    a_charge = peaks["atom_charge"][index][av]
+    a_hs = peaks["atom_hs"][index][av]
+    order = np.lexsort((axy[:, 1], axy[:, 0]))
+
+    apos: List[np.ndarray] = []
+    types: List[str] = []
+    charges: List[int] = []
+    hs: List[int] = []
+    for i in order:
+        p = axy[i].astype(np.float64)
+        if apos and min(((np.asarray(apos) - p) ** 2).sum(-1)) < 4:
+            continue
+        apos.append(p)
+        types.append(vocab.ATOM_DEVOCAB[int(a_type[i])])
+        charges.append(vocab.CHARGE_DEVOCAB[int(a_charge[i])])
+        hs.append(int(a_hs[i]))
+    atoms_position = np.asarray(apos)                    # (A, 2)
+
+    # -- bonds --
+    bxy = peaks["bond_xy"][index][bv].astype(np.float64)  # (Bn, 2)
+    bdelta = peaks["bond_delta"][index][bv].astype(np.float64)
+    btype = peaks["bond_type"][index][bv]
+    if len(bxy) == 0:
+        return None
+
+    # Endpoint matching (img2smiles2.py:193-210).
+    p1 = (bxy + bdelta)[:, None, :]                       # (Bn, 1, 2)
+    p2 = (bxy - bdelta)[:, None, :]
+    ap = atoms_position[None, :, :]                       # (1, A, 2)
+    norm = np.sqrt((bdelta ** 2).sum(-1, keepdims=True))
+    norm = np.maximum(norm, 1e-9)
+    e1 = bdelta / norm
+    e2 = np.stack([-e1[:, 1], e1[:, 0]], axis=-1)
+    e1 = e1[:, None, :]
+    e2 = e2[:, None, :]
+    d1 = (np.abs(_leaky_relu(((p1 - ap) * e1).sum(-1)))
+          + np.abs(2 * ((p1 - ap) * e2).sum(-1)))
+    d2 = (np.abs(_leaky_relu(-((p2 - ap) * e1).sum(-1)))
+          + np.abs(2 * ((p2 - ap) * e2).sum(-1)))
+    atom_index1 = d2.argmin(-1)                           # begin atoms
+    atom_index2 = d1.argmin(-1)                           # end atoms
+
+    # Self-loop / duplicate-pair removal (img2smiles2.py:217-231).
+    bond_pairs: List[List[int]] = []
+    bond_orders: List[int] = []
+    for i in range(len(bxy)):
+        i1, i2 = int(atom_index1[i]), int(atom_index2[i])
+        if i1 == i2:
+            continue
+        if [i1, i2] in bond_pairs or [i2, i1] in bond_pairs:
+            continue
+        bond_pairs.append([i1, i2])
+        bond_orders.append(vocab.BOND_DEVOCAB[int(btype[i])])
+    if not bond_pairs:
+        return None
+
+    # Valence fixups (img2smiles2.py:247-271).
+    counts = [-c for c in charges]
+    for (x, y), order_ in zip(bond_pairs, bond_orders):
+        n = 1 if order_ >= 4 else order_
+        counts[x] += n
+        counts[y] += n
+    for serial, count in enumerate(counts):
+        if ATOM_MAX_VALENCE.get(types[serial], 4) < count:
+            if verbose:
+                print(f"valence fix atom {serial} {types[serial]} -> "
+                      f"{_VALENCE_REWRITE.get(count)}")
+            if count in _VALENCE_REWRITE:
+                types[serial] = _VALENCE_REWRITE[count]
+
+    # Drop unbonded atoms + 1-based reindex (img2smiles2.py:236-245,273-297).
+    used = set()
+    for x, y in bond_pairs:
+        used.add(x)
+        used.add(y)
+    corresponding = []
+    final_types: List[str] = []
+    final_charges: List[int] = []
+    final_pos: List[Sequence[float]] = []
+    final_hs: List[int] = []
+    k = 1
+    for i in range(len(types)):
+        corresponding.append(k)
+        if i in used:
+            final_types.append(types[i])
+            final_charges.append(charges[i])
+            final_pos.append(list(atoms_position[i]))
+            final_hs.append(hs[i])
+            k += 1
+    bond_pairs_1b = [[corresponding[x], corresponding[y]]
+                     for x, y in bond_pairs]
+
+    # Aromatic-heteroatom implicit hydrogens (img2smiles2.py:299-311).
+    impl_h: List[int] = []
+    for (x, y), order_ in zip(bond_pairs_1b, bond_orders):
+        if order_ == 4:
+            for a1b in (x, y):
+                if final_types[a1b - 1] != "C" and final_hs[a1b - 1] != 0 \
+                        and a1b not in impl_h:
+                    impl_h.append(a1b)
+
+    block = write_molblock(final_types, bond_pairs_1b, final_charges,
+                           bond_orders, final_pos, impl_h)
+    try:
+        mol = parse_molblock(block)
+        return to_smiles(mol, canonical=True)
+    except Exception:
+        return None
+
+
+def assemble_batch(peaks: Dict[str, np.ndarray],
+                   processes: int = 0) -> List[Optional[str]]:
+    """Decode every image in a batch of peak arrays (host numpy).
+
+    processes > 1 fans images out over a process pool — the
+    multi_proc_img2smiles2.py Pool(32) role; with the on-device peak
+    reduction the serial path is usually fast enough.
+    """
+    host = {k: np.asarray(v) for k, v in peaks.items()}
+    n = host["atom_valid"].shape[0]
+    if processes and processes > 1 and n > 1:
+        import multiprocessing as mp
+        with mp.get_context("fork").Pool(processes) as pool:
+            return pool.starmap(assemble_smiles, [(host, i)
+                                                  for i in range(n)])
+    return [assemble_smiles(host, i) for i in range(n)]

@@ -159,8 +159,8 @@ def fused_bond_type_loss(bond_type_logits: jnp.ndarray,
     overwrite keeps one); spatial out-of-bounds cells are masked like the
     reference's slice clamping.
     """
-    B = bond_type_logits.shape[0]
-    logits = bond_type_logits.reshape(B, G, G, NB, NO)
+    B, Gh, Gw = bond_type_logits.shape[:3]
+    logits = bond_type_logits.reshape(B, Gh, Gw, NB, NO)
     logp_all = jax.nn.log_softmax(logits, axis=-2)      # (B,G,G,6,60)
 
     off = jnp.asarray(_OFF3)                             # (27, 3)
@@ -176,10 +176,10 @@ def fused_bond_type_loss(bond_type_logits: jnp.ndarray,
         ho = jnp.mod(o[:, None] + off[None, :, 0], NO)           # (Bn,27)
         hx = x[:, None] + off[None, :, 1]
         hy = y[:, None] + off[None, :, 2]
-        inb = ((hx >= 0) & (hx < G) & (hy >= 0) & (hy < G)).astype(
+        inb = ((hx >= 0) & (hx < Gh) & (hy >= 0) & (hy < Gw)).astype(
             jnp.float32)
-        hxc = jnp.clip(hx, 0, G - 1)
-        hyc = jnp.clip(hy, 0, G - 1)
+        hxc = jnp.clip(hx, 0, Gh - 1)
+        hyc = jnp.clip(hy, 0, Gw - 1)
         ch = jnp.broadcast_to(c[:, None], ho.shape)
         lp = logp[hxc, hyc, ch, ho]                              # (Bn,27)
         p = jnp.exp(lp)

@@ -45,9 +45,11 @@ def _scatter_max2(canvas, xs, ys, vals):
     return canvas.at[xs, ys].max(vals, mode="drop")
 
 
-def build_atom_maps(atoms: jnp.ndarray, n_atoms: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def build_atom_maps(atoms: jnp.ndarray, n_atoms: jnp.ndarray,
+                    grid: int = G) -> Dict[str, jnp.ndarray]:
     """atoms: int32 [A, 5] = (x, y, type, charge, hs); padding rows
     ignored via n_atoms mask. Returns dense maps (no batch dim)."""
+    G_ = grid
     A = atoms.shape[0]
     valid = (jnp.arange(A) < n_atoms)
     x = atoms[:, 0]
@@ -62,7 +64,7 @@ def build_atom_maps(atoms: jnp.ndarray, n_atoms: jnp.ndarray) -> Dict[str, jnp.n
 
     heat_vals = jnp.where(center, 1.0, 0.8).astype(jnp.float32)
     heat_vals = jnp.broadcast_to(heat_vals, hx.shape)
-    atom_target = _scatter_max2(jnp.zeros((G, G), jnp.float32),
+    atom_target = _scatter_max2(jnp.zeros((G_, G_), jnp.float32),
                                 hx.reshape(-1), hy.reshape(-1),
                                 heat_vals.reshape(-1))
 
@@ -71,7 +73,7 @@ def build_atom_maps(atoms: jnp.ndarray, n_atoms: jnp.ndarray) -> Dict[str, jnp.n
 
     def class_map(channel_idx, n_classes):
         ch = jnp.broadcast_to(channel_idx[:, None], hx.shape)
-        canvas = jnp.zeros((n_classes, G, G), jnp.float32)
+        canvas = jnp.zeros((n_classes, G_, G_), jnp.float32)
         return canvas.at[ch.reshape(-1), hx.reshape(-1),
                          hy.reshape(-1)].max(cls_vals.reshape(-1),
                                              mode="drop")
@@ -91,9 +93,11 @@ def build_atom_maps(atoms: jnp.ndarray, n_atoms: jnp.ndarray) -> Dict[str, jnp.n
 
 def build_bond_maps(bonds_i: jnp.ndarray, bonds_f: jnp.ndarray,
                     n_bonds: jnp.ndarray,
-                    with_full_type: bool = False) -> Dict[str, jnp.ndarray]:
+                    with_full_type: bool = False,
+                    grid: int = G) -> Dict[str, jnp.ndarray]:
     """bonds_i: int32 [Bn, 4] = (x, y, type_idx, omega_idx) with plain
     bonds already direction-duplicated; bonds_f: [Bn, 1] = rho."""
+    G_ = grid
     Bn = bonds_i.shape[0]
     valid = (jnp.arange(Bn) < n_bonds)
     x = jnp.where(valid, bonds_i[:, 0], -10_000)
@@ -108,7 +112,7 @@ def build_bond_maps(bonds_i: jnp.ndarray, bonds_f: jnp.ndarray,
     center2 = jnp.asarray(_CENTER2)[None, :]
     heat_vals = jnp.broadcast_to(
         jnp.where(center2, 1.0, 0.8).astype(jnp.float32), hx2.shape)
-    bond_target = _scatter_max2(jnp.zeros((G, G), jnp.float32),
+    bond_target = _scatter_max2(jnp.zeros((G_, G_), jnp.float32),
                                 hx2.reshape(-1), hy2.reshape(-1),
                                 heat_vals.reshape(-1))
 
@@ -120,18 +124,18 @@ def build_bond_maps(bonds_i: jnp.ndarray, bonds_f: jnp.ndarray,
 
     omega_vals = jnp.broadcast_to(
         jnp.where(center3, 1.0, 0.8).astype(jnp.float32), ho.shape)
-    bond_omega = jnp.zeros((NO, G, G), jnp.float32).at[
+    bond_omega = jnp.zeros((NO, G_, G_), jnp.float32).at[
         ho.reshape(-1), hx3.reshape(-1), hy3.reshape(-1)].max(
             omega_vals.reshape(-1), mode="drop")
 
     rho_vals = jnp.broadcast_to(rho[:, None], ho.shape)
-    bond_rho = jnp.zeros((NO, G, G), jnp.float32).at[
+    bond_rho = jnp.zeros((NO, G_, G_), jnp.float32).at[
         ho.reshape(-1), hx3.reshape(-1), hy3.reshape(-1)].max(
             rho_vals.reshape(-1), mode="drop")
 
     type_vals = jnp.broadcast_to(
         jnp.where(center3, 1.0, 0.5).astype(jnp.float32), ho.shape)
-    bond_type_mass = jnp.zeros((NO, G, G), jnp.float32).at[
+    bond_type_mass = jnp.zeros((NO, G_, G_), jnp.float32).at[
         ho.reshape(-1), hx3.reshape(-1), hy3.reshape(-1)].max(
             type_vals.reshape(-1), mode="drop")
 
@@ -143,7 +147,7 @@ def build_bond_maps(bonds_i: jnp.ndarray, bonds_f: jnp.ndarray,
     }
     if with_full_type:
         ch = jnp.broadcast_to(t[:, None], ho.shape)
-        bond_type = jnp.zeros((vocab.NUM_BOND_CLASSES, NO, G, G),
+        bond_type = jnp.zeros((vocab.NUM_BOND_CLASSES, NO, G_, G_),
                               jnp.float32).at[
             ch.reshape(-1), ho.reshape(-1), hx3.reshape(-1),
             hy3.reshape(-1)].max(type_vals.reshape(-1), mode="drop")
@@ -152,11 +156,14 @@ def build_bond_maps(bonds_i: jnp.ndarray, bonds_f: jnp.ndarray,
 
 
 def build_targets(batch: Dict[str, jnp.ndarray],
-                  with_full_type: bool = False) -> Dict[str, jnp.ndarray]:
+                  with_full_type: bool = False,
+                  grid: int = G) -> Dict[str, jnp.ndarray]:
     """Batched target construction. batch contains compact label arrays
     with a leading batch dim (atoms, n_atoms, bonds_i, bonds_f, n_bonds)."""
-    atom_maps = jax.vmap(build_atom_maps)(batch["atoms"], batch["n_atoms"])
+    atom_maps = jax.vmap(
+        lambda a, na: build_atom_maps(a, na, grid)
+    )(batch["atoms"], batch["n_atoms"])
     bond_maps = jax.vmap(
-        lambda bi, bf, nb: build_bond_maps(bi, bf, nb, with_full_type)
+        lambda bi, bf, nb: build_bond_maps(bi, bf, nb, with_full_type, grid)
     )(batch["bonds_i"], batch["bonds_f"], batch["n_bonds"])
     return {**atom_maps, **bond_maps}

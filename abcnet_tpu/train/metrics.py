@@ -134,24 +134,34 @@ def compute_metrics(preds: Dict[str, jnp.ndarray],
 
 
 class MeterBank:
-    """Host-side accumulator for (numerator, denominator) metric pairs —
-    the AverageMeter equivalent (reference src/meter.py), but fed from
-    device scalars fetched every N steps instead of per step."""
+    """Accumulator for (numerator, denominator) metric pairs — the
+    AverageMeter equivalent (reference src/meter.py).
+
+    `update` adds device scalars with asynchronous jnp ops (no host
+    sync); the single blocking `device_get` happens in `averages()`,
+    i.e. once per logging interval. The reference fetches every scalar
+    to host every step (`.cpu().detach().numpy()`, train.py:145-215) —
+    a per-step sync storm this design removes.
+    """
 
     def __init__(self):
-        self.num: Dict[str, float] = {}
-        self.den: Dict[str, float] = {}
+        self.num: Dict[str, object] = {}
+        self.den: Dict[str, object] = {}
 
     def update(self, metrics: Dict[str, Tuple]) -> None:
-        import numpy as np
-        host = jax.device_get(metrics)
-        for k, (n, d) in host.items():
-            self.num[k] = self.num.get(k, 0.0) + float(n)
-            self.den[k] = self.den.get(k, 0.0) + float(d)
+        for k, (n, d) in metrics.items():
+            if k in self.num:
+                self.num[k] = self.num[k] + n
+                self.den[k] = self.den[k] + d
+            else:
+                self.num[k] = n
+                self.den[k] = d
 
     def averages(self) -> Dict[str, float]:
-        return {k: self.num[k] / self.den[k] if self.den[k] else 0.0
-                for k in self.num}
+        host_num = jax.device_get(self.num)
+        host_den = jax.device_get(self.den)
+        return {k: float(host_num[k]) / float(host_den[k])
+                if float(host_den[k]) else 0.0 for k in host_num}
 
     def reset(self) -> None:
         self.num.clear()

@@ -67,3 +67,14 @@ def test_bf16_compute_path():
     out = model.apply(variables, x, train=False)
     assert out["atom_target"].dtype == jnp.float32  # heads cast back
     assert np.isfinite(np.asarray(out["atom_target"])).all()
+
+
+def test_cbam_unet_param_count():
+    """11,177,340 params — parity with reference unet2.py at production
+    heads (verified by instantiating the torch reference)."""
+    import jax
+    from abcnet_tpu.models.unet import init_unet, param_count
+    from abcnet_tpu.models.unet_cbam import UNetCBAM
+    model = UNetCBAM()
+    v = init_unet(jax.random.PRNGKey(0), model, (1, 64, 64, 1))
+    assert param_count(v["params"]) == 11_177_340
