@@ -107,6 +107,56 @@ def _cmd_cal_acc(args) -> None:
     print(score_pairs(list(df["smiles"]), preds))
 
 
+def _cmd_test_acc(args) -> None:
+    import random
+
+    import jax
+
+    from .data import pipeline
+    from .eval.class_metrics import per_class_counts, per_class_report
+    from .ops.losses import _to_nhwc_targets
+    from .ops.targets import build_targets
+    from .train.trainer import (TrainConfig, create_state,
+                                restore_checkpoint)
+
+    csv_path = os.path.join(args.data, "dataset.csv")
+    if not os.path.exists(csv_path):
+        sys.exit(f"error: dataset csv not found: {csv_path}")
+    cfg = TrainConfig(dtype=args.dtype)
+    state = create_state(cfg)
+    if args.ckpt:
+        state = restore_checkpoint(state, args.ckpt)
+    samples = pipeline.load_csv_dataset(csv_path)
+    rng = random.Random(0)
+    examples = [pipeline.sample_to_example(s, rng, train=False)
+                for s in samples]
+
+    @jax.jit
+    def run(batch):
+        images = pipeline.device_preprocess(batch["image_u8"],
+                                            jax.random.PRNGKey(0),
+                                            train=False)
+        preds = state.apply_fn({"params": state.params,
+                                "batch_stats": state.batch_stats},
+                               images, train=False)
+        targets = _to_nhwc_targets(build_targets(batch,
+                                                 with_full_type=True))
+        return per_class_counts(preds, targets)
+
+    import numpy as np
+    acc = None
+    for hb in pipeline.batches_from_examples(examples, args.batch_size,
+                                             shuffle=False):
+        counts = {k: tuple(np.asarray(x) for x in v)
+                  for k, v in run(hb).items()}
+        if acc is None:
+            acc = counts
+        else:
+            acc = {k: tuple(a + b for a, b in zip(acc[k], counts[k]))
+                   for k in acc}
+    print(per_class_report(acc))
+
+
 def _cmd_bench(args) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -152,6 +202,14 @@ def main(argv=None) -> None:
     c = sub.add_parser("cal-acc", help="score a results csv")
     c.add_argument("results")
     c.set_defaults(fn=_cmd_cal_acc)
+
+    ta = sub.add_parser("test-acc",
+                        help="per-class P/R tables (test_accuracy parity)")
+    ta.add_argument("--data", required=True)
+    ta.add_argument("--ckpt")
+    ta.add_argument("-b", "--batch-size", type=int, default=16)
+    ta.add_argument("--dtype", default="bfloat16")
+    ta.set_defaults(fn=_cmd_test_acc)
 
     b = sub.add_parser("bench", help="throughput benchmark")
     b.set_defaults(fn=_cmd_bench)

@@ -48,6 +48,48 @@ def _leaky_relu(x: np.ndarray) -> np.ndarray:
     return np.maximum(x, 0.5 * x)
 
 
+def _graph_to_smiles(types: List[str], charges: List[int],
+                     positions: List[Sequence[float]], hs: List[int],
+                     bond_pairs_1b: List[List[int]],
+                     bond_orders: List[int]) -> Optional[str]:
+    """Shared tail: implicit-H collection + MolBlock -> canonical SMILES
+    (img2smiles2.py:299-317, generate_smiles.py:10-119)."""
+    impl_h: List[int] = []
+    for (x, y), order_ in zip(bond_pairs_1b, bond_orders):
+        if order_ == 4:
+            for a1b in (x, y):
+                if types[a1b - 1] != "C" and hs[a1b - 1] != 0 \
+                        and a1b not in impl_h:
+                    impl_h.append(a1b)
+    block = write_molblock(types, bond_pairs_1b, charges, bond_orders,
+                           positions, impl_h)
+    try:
+        mol = parse_molblock(block)
+        return to_smiles(mol, canonical=True)
+    except Exception:
+        return None
+
+
+def assemble_smiles_native(peaks: Dict[str, np.ndarray],
+                           index: int) -> Optional[str]:
+    """C++ fast path: graph assembly in native code (native/assemble.cpp),
+    MolBlock/SMILES in the chem stack. Falls back to the numpy path when
+    the shared library is not built."""
+    from .native import assemble_graph_native, load_native
+    if load_native() is None:
+        return assemble_smiles(peaks, index)
+    out = assemble_graph_native(peaks, index)
+    if out is None:
+        return None
+    pos, a_type, a_charge, a_hs, bonds, b_orders = out
+    types = [vocab.ATOM_DEVOCAB[int(t)] for t in a_type]
+    charges = [vocab.CHARGE_DEVOCAB[int(c)] for c in a_charge]
+    return _graph_to_smiles(types, charges, pos.tolist(),
+                            [int(h) for h in a_hs],
+                            [[int(a) + 1, int(b) + 1] for a, b in bonds],
+                            [int(o) for o in b_orders])
+
+
 def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
                     verbose: bool = False) -> Optional[str]:
     """Decode one image's peaks (row `index` of the batch arrays)."""
@@ -151,38 +193,24 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
             k += 1
     bond_pairs_1b = [[corresponding[x], corresponding[y]]
                      for x, y in bond_pairs]
-
-    # Aromatic-heteroatom implicit hydrogens (img2smiles2.py:299-311).
-    impl_h: List[int] = []
-    for (x, y), order_ in zip(bond_pairs_1b, bond_orders):
-        if order_ == 4:
-            for a1b in (x, y):
-                if final_types[a1b - 1] != "C" and final_hs[a1b - 1] != 0 \
-                        and a1b not in impl_h:
-                    impl_h.append(a1b)
-
-    block = write_molblock(final_types, bond_pairs_1b, final_charges,
-                           bond_orders, final_pos, impl_h)
-    try:
-        mol = parse_molblock(block)
-        return to_smiles(mol, canonical=True)
-    except Exception:
-        return None
+    return _graph_to_smiles(final_types, final_charges, final_pos,
+                            final_hs, bond_pairs_1b, bond_orders)
 
 
-def assemble_batch(peaks: Dict[str, np.ndarray],
-                   processes: int = 0) -> List[Optional[str]]:
+def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
+                   native: bool = True) -> List[Optional[str]]:
     """Decode every image in a batch of peak arrays (host numpy).
 
-    processes > 1 fans images out over a process pool — the
-    multi_proc_img2smiles2.py Pool(32) role; with the on-device peak
+    native=True uses the C++ assembler when built (falls back
+    transparently). processes > 1 fans images out over a process pool —
+    the multi_proc_img2smiles2.py Pool(32) role; with the on-device peak
     reduction the serial path is usually fast enough.
     """
     host = {k: np.asarray(v) for k, v in peaks.items()}
     n = host["atom_valid"].shape[0]
+    fn = assemble_smiles_native if native else assemble_smiles
     if processes and processes > 1 and n > 1:
         import multiprocessing as mp
-        with mp.get_context("fork").Pool(processes) as pool:
-            return pool.starmap(assemble_smiles, [(host, i)
-                                                  for i in range(n)])
-    return [assemble_smiles(host, i) for i in range(n)]
+        with mp.get_context("spawn").Pool(processes) as pool:
+            return pool.starmap(fn, [(host, i) for i in range(n)])
+    return [fn(host, i) for i in range(n)]

@@ -1,0 +1,86 @@
+"""ctypes bindings for the native graph assembler (native/assemble.cpp).
+
+The shared library is optional: `load_native()` returns None when it
+has not been built (``make -C native``), and callers fall back to the
+pure-numpy path in infer/assemble.py. Both implement the same reference
+semantics (img2smiles2.py:171-311); test_native.py asserts they agree.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "libabcnet_native.so")
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_F32P = ctypes.POINTER(ctypes.c_float)
+_F64P = ctypes.POINTER(ctypes.c_double)
+
+
+@functools.lru_cache(maxsize=1)
+def load_native() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.assemble_graph.restype = ctypes.c_int32
+    lib.assemble_graph.argtypes = [
+        _I32P, _I32P, _I32P, _I32P, _U8P, ctypes.c_int32,
+        _I32P, _F32P, _I32P, _U8P, ctypes.c_int32,
+        _F64P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P,
+    ]
+    return lib
+
+
+def _p(arr, typ):
+    return arr.ctypes.data_as(typ)
+
+
+def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int
+                          ) -> Optional[Tuple]:
+    """Run the C++ assembler for one image. Returns
+    (atom_pos [A,2], atom_type [A], atom_charge [A], atom_hs [A],
+     bonds [B,2] 0-based, bond_orders [B]) or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+
+    axy = np.ascontiguousarray(peaks["atom_xy"][index], np.int32)
+    at = np.ascontiguousarray(peaks["atom_type"][index], np.int32)
+    ac = np.ascontiguousarray(peaks["atom_charge"][index], np.int32)
+    ah = np.ascontiguousarray(peaks["atom_hs"][index], np.int32)
+    av = np.ascontiguousarray(peaks["atom_valid"][index], np.uint8)
+    bxy = np.ascontiguousarray(peaks["bond_xy"][index], np.int32)
+    bd = np.ascontiguousarray(peaks["bond_delta"][index], np.float32)
+    bt = np.ascontiguousarray(peaks["bond_type"][index], np.int32)
+    bv = np.ascontiguousarray(peaks["bond_valid"][index], np.uint8)
+    ka = np.int32(axy.shape[0])
+    kb = np.int32(bxy.shape[0])
+
+    out_pos = np.zeros((ka, 2), np.float64)
+    out_type = np.zeros(ka, np.int32)
+    out_charge = np.zeros(ka, np.int32)
+    out_hs = np.zeros(ka, np.int32)
+    out_bonds = np.zeros((kb, 2), np.int32)
+    out_btype = np.zeros(kb, np.int32)
+    n_bonds = np.zeros(1, np.int32)
+
+    na = lib.assemble_graph(
+        _p(axy, _I32P), _p(at, _I32P), _p(ac, _I32P), _p(ah, _I32P),
+        _p(av, _U8P), ka,
+        _p(bxy, _I32P), _p(bd, _F32P), _p(bt, _I32P), _p(bv, _U8P), kb,
+        _p(out_pos, _F64P), _p(out_type, _I32P), _p(out_charge, _I32P),
+        _p(out_hs, _I32P), _p(out_bonds, _I32P), _p(out_btype, _I32P),
+        _p(n_bonds, _I32P))
+    if na < 0:
+        return None
+    nb = int(n_bonds[0])
+    return (out_pos[:na], out_type[:na], out_charge[:na], out_hs[:na],
+            out_bonds[:nb], out_btype[:nb])
