@@ -73,15 +73,12 @@ def _cmd_img2smiles(args) -> None:
 
     samples = pipeline.load_csv_dataset(csv_path)
 
-    @jax.jit
-    def run(image_u8):
-        images = pipeline.device_preprocess(image_u8,
-                                            jax.random.PRNGKey(0),
-                                            train=False)
-        preds = state.apply_fn({"params": state.params,
-                                "batch_stats": state.batch_stats},
-                               images, train=False)
-        return extract_peaks(preds)
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        mesh = make_mesh(args.mesh)
+    from .infer.decode import make_infer_pipeline
+    run = make_infer_pipeline(state, mesh)
 
     truths, preds_all = [], []
     bs = args.batch_size
@@ -196,6 +193,8 @@ def main(argv=None) -> None:
     i.add_argument("--out", default="results.csv")
     i.add_argument("-b", "--batch-size", type=int, default=64)
     i.add_argument("--processes", type=int, default=0)
+    i.add_argument("--mesh", type=int, default=0,
+                   help="shard inference batches over N devices")
     i.add_argument("--dtype", default="bfloat16")
     i.set_defaults(fn=_cmd_img2smiles)
 

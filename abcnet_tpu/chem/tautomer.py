@@ -1,0 +1,143 @@
+"""Tautomer enumeration + canonicalization.
+
+Standalone replacement for the RDKit MolStandardize call the reference
+scores with (``canonicalize_tautomer_smiles``,
+/root/reference/src/cal_acc.py:13-27, src/img2smiles3.py:321-325): a
+miniature of RDKit's TautomerEnumerator — enumerate 1,3 H-shifts over
+conjugated donor/acceptor paths, score candidates (aromatic rings
+dominate, then carbonyls), pick the max score with a lexicographic
+canonical-SMILES tiebreak. Covers the tautomer classes the synthetic
+pipeline actually produces (keto/enol, amide/iminol, azole NH shifts);
+exotic RDKit rules (phosphorus, 1,5-shifts across heteroaromatics) are
+out of scope and score identically on both sides of a comparison.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Set, Tuple
+
+from .aromaticity import kekulize, perceive_aromaticity
+from .mol import Mol
+from .smiles import from_smiles, to_smiles
+
+MAX_STATES = 200
+MAX_DEPTH = 6
+
+# Atoms allowed as H donors/acceptors in a shift.
+_DA = {"C", "N", "O", "S"}
+
+
+def _shift_moves(mol: Mol) -> List[Tuple[int, int, int, int, int]]:
+    """All 1,3 H-shift moves (donor, b1, mid, b2, acceptor):
+    donor(-H) -b1(single)- mid =b2(double)= acceptor  ->  H moves to
+    acceptor, b1 becomes double, b2 single. Pure carbon-to-carbon
+    shifts (alkene walks) are not tautomer moves and are skipped."""
+    moves = []
+    for d in range(mol.num_atoms):
+        ad = mol.atoms[d]
+        if ad.symbol not in _DA or ad.total_hs <= 0 or ad.aromatic:
+            continue
+        for b1 in mol.bond_indices_of(d):
+            bond1 = mol.bonds[b1]
+            if bond1.order != 1 or bond1.aromatic:
+                continue
+            m = bond1.other(d)
+            for b2 in mol.bond_indices_of(m):
+                bond2 = mol.bonds[b2]
+                if b2 == b1 or bond2.order != 2 or bond2.aromatic:
+                    continue
+                a = bond2.other(m)
+                aa = mol.atoms[a]
+                if aa.symbol not in _DA:
+                    continue
+                if ad.symbol == "C" and aa.symbol == "C":
+                    continue
+                moves.append((d, b1, m, b2, a))
+    return moves
+
+
+def _apply(mol: Mol, move) -> Mol:
+    d, b1, m, b2, a = move
+    out = mol.copy()
+    out.bonds[b1].order = 2
+    out.bonds[b2].order = 1
+    out.atoms[d].num_explicit_hs = mol.atoms[d].total_hs - 1
+    out.atoms[a].num_explicit_hs = mol.atoms[a].total_hs + 1
+    # Pin every H count so sanitize cannot re-derive a different one.
+    for i, atom in enumerate(out.atoms):
+        if atom.num_explicit_hs is None:
+            atom.num_explicit_hs = mol.atoms[i].total_hs
+    for bond in out.bonds:
+        bond.aromatic = False
+    for atom in out.atoms:
+        atom.aromatic = False
+    try:
+        perceive_aromaticity(out)
+    except Exception:
+        pass
+    return out
+
+
+def _score(mol: Mol) -> int:
+    """RDKit-style preference: aromatic rings >> carbonyl-like bonds."""
+    score = 0
+    seen_aromatic_rings = 0
+    for ring in mol.sssr():
+        if all(mol.atoms[i].aromatic for i in ring):
+            seen_aromatic_rings += 1
+    score += 100 * seen_aromatic_rings
+    for b in mol.bonds:
+        if b.order == 2 and not b.aromatic:
+            syms = {mol.atoms[b.a].symbol, mol.atoms[b.b].symbol}
+            if syms == {"C", "O"}:
+                score += 4          # carbonyl beats enol
+            elif syms == {"C", "N"}:
+                score += 1
+            elif syms == {"C", "S"}:
+                score += 2
+    return score
+
+
+def canonical_tautomer(mol: Mol) -> Mol:
+    """Enumerate tautomers (bounded BFS) and return the canonical one."""
+    try:
+        start = mol.copy()
+        perceive_aromaticity(start)
+    except Exception:
+        start = mol
+    best = (None, None)  # (key, mol)
+
+    seen: Set[str] = set()
+    queue: List[Tuple[Mol, int]] = [(start, 0)]
+    while queue and len(seen) < MAX_STATES:
+        cur, depth = queue.pop(0)
+        try:
+            smi = to_smiles(cur, canonical=True)
+        except Exception:
+            continue
+        if smi in seen:
+            continue
+        seen.add(smi)
+        key = (-_score(cur), smi)
+        if best[0] is None or key < best[0]:
+            best = (key, cur)
+        if depth >= MAX_DEPTH:
+            continue
+        # Work on a kekulized copy so ring bonds expose explicit orders.
+        work = cur.copy()
+        try:
+            kekulize(work)
+        except Exception:
+            work = cur
+        for move in _shift_moves(work):
+            queue.append((_apply(work, move), depth + 1))
+    return best[1] if best[1] is not None else mol
+
+
+def canonicalize_tautomer_smiles(smiles: str) -> Optional[str]:
+    """SMILES -> canonical-tautomer canonical SMILES (cal_acc.py:13-27)."""
+    try:
+        mol = from_smiles(smiles)
+        return to_smiles(canonical_tautomer(mol), canonical=True)
+    except Exception:
+        return None

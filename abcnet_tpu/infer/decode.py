@@ -89,6 +89,33 @@ def _antipodal_keep(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(lower, keep_lower, keep_upper)
 
 
+def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None):
+    """Fused inference pipeline: uint8 batch -> peak arrays, optionally
+    sharded over a data-parallel mesh (the multi-chip batched-inference
+    role of the reference's DataParallel forward + Pool decode,
+    multi_proc_img2smiles2.py:268-300). Returns run(image_u8)."""
+    from ..data.pipeline import device_preprocess
+    from ..parallel import shard_batch
+
+    cfg = decode_cfg or DecodeConfig()
+
+    @jax.jit
+    def _run(image_u8):
+        images = device_preprocess(image_u8, jax.random.PRNGKey(0),
+                                   train=False)
+        preds = state.apply_fn({"params": state.params,
+                                "batch_stats": state.batch_stats},
+                               images, train=False)
+        return extract_peaks(preds, cfg)
+
+    def run(image_u8):
+        if mesh is not None:
+            image_u8 = shard_batch({"x": image_u8}, mesh)["x"]
+        return _run(image_u8)
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_peaks(preds: Dict[str, jnp.ndarray],
                   cfg: DecodeConfig = DecodeConfig()) -> Dict[str, jnp.ndarray]:

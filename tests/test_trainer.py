@@ -80,3 +80,13 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_mesh_sharded_inference(tiny_setup):
+    """Batched inference sharded over the 8-device mesh — parity role of
+    multi_proc_img2smiles2.py's DataParallel forward."""
+    from abcnet_tpu.infer.decode import make_infer_pipeline
+    cfg, mesh, state, batch = tiny_setup
+    run = make_infer_pipeline(state, mesh)
+    peaks = run(np.asarray(batch["image_u8"]))
+    assert peaks["atom_xy"].shape[0] == 8
