@@ -89,3 +89,20 @@ def test_synthetic_batch_sizes():
     b = pipeline.synthetic_batch(2, size=128)
     assert b["image_u8"].shape == (2, 128, 128)
     assert (b["atoms"][:, :24, :2] < 32).all()
+
+
+def test_otsu_threshold_separates_bimodal():
+    from abcnet_tpu.data.binarize import (binarize_otsu, otsu_threshold,
+                                          otsu_threshold_jax)
+    rng = np.random.default_rng(0)
+    img = np.where(rng.random((64, 64)) < 0.3,
+                   rng.integers(0, 60, (64, 64)),
+                   rng.integers(200, 256, (64, 64))).astype(np.uint8)
+    t = otsu_threshold(img)
+    # any threshold from the top of the dark class through the gap
+    # separates the modes; Otsu returns the first maximizer
+    assert 55 <= t < 200
+    tj = int(otsu_threshold_jax(jnp.asarray(img)))
+    assert abs(tj - t) <= 1
+    mask = binarize_otsu(img)
+    assert 0.25 < mask.mean() < 0.35
