@@ -65,6 +65,10 @@ def _graph_to_smiles(types: List[str], charges: List[int],
                            positions, impl_h)
     try:
         mol = parse_molblock(block)
+        # RDKit's MolFromMolBlock removes explicit hydrogens by default
+        # (generate_smiles.py:115); AddHs-rendered molecules would
+        # otherwise emit [H]-laden SMILES that never exact-match.
+        mol = mol.remove_explicit_h_atoms()
         return to_smiles(mol, canonical=True)
     except Exception:
         return None
