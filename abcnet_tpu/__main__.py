@@ -35,6 +35,11 @@ def _cmd_train(args) -> None:
                       epochs=args.epochs, amount=args.amount,
                       seed=args.seed, ckpt_dir=args.ckpt,
                       dtype=args.dtype)
+    state = None
+    if args.resume:
+        from .train.trainer import create_state, restore_checkpoint
+        state = restore_checkpoint(create_state(cfg), args.resume)
+        print(f"resumed from step {int(state.step)}")
     if args.data:
         samples = pipeline.load_csv_dataset(
             os.path.join(args.data, "dataset.csv"))
@@ -48,7 +53,7 @@ def _cmd_train(args) -> None:
     test = examples[:n_test] if n_test else None
     train = examples[n_test:]
     print(f"training on {len(train)} examples, eval on {n_test}")
-    fit(cfg, train, test)
+    fit(cfg, train, test, state=state)
 
 
 def _cmd_img2smiles(args) -> None:
@@ -185,6 +190,7 @@ def main(argv=None) -> None:
     t.add_argument("--ckpt", help="checkpoint dir")
     t.add_argument("--dtype", default="bfloat16")
     t.add_argument("--test-split", action="store_true", default=True)
+    t.add_argument("--resume", help="checkpoint dir to resume from")
     t.set_defaults(fn=_cmd_train)
 
     i = sub.add_parser("img2smiles", help="decode a dataset to SMILES")
