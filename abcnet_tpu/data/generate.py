@@ -90,8 +90,13 @@ def generate_sample(rng: random.Random, size: int = 512,
 
     if mode == "mixed":
         mode = "rdkit" if rng.random() < 0.5 else "indigo"
-    # Indigo lineage randomly dearomatizes (indigo_img_generator.py:68-69).
+    # Indigo lineage randomly dearomatizes (indigo_img_generator.py:68-69)
+    # and renders at a random canvas size 320-512
+    # (indigo_img_generator.py:53-55); the pipeline re-center-pads to 512.
     aromatic_records = mode == "indigo" and rng.random() < 0.5
+    full_size = size
+    if mode == "indigo":
+        size = rng.randint(min(320, size), size)
 
     _decorate_stereo(mol, rng)
 
@@ -109,6 +114,19 @@ def generate_sample(rng: random.Random, size: int = 512,
             break
     if result is None:
         return None
+
+    # Center-pad smaller canvases to the full size so downstream batch
+    # stacking sees one shape; label coords shift with the pad (the
+    # reference's dataset does this at load time, utils.py:56-61).
+    full = full_size
+    if result.image.shape != (full, full):
+        h, w = result.image.shape
+        ddx, ddy = (full - h) // 2, (full - w) // 2
+        canvas = np.full((full, full), 255, np.uint8)
+        canvas[ddx:ddx + h, ddy:ddy + w] = result.image
+        result = RenderResult(canvas,
+                              [(r + ddx, c + ddy) for r, c in result.atom_rc],
+                              result.bond_px)
 
     atoms_string = _atoms_string(render_mol, result, aromatic_records)
     bonds_string = _bonds_string(render_mol, result, aromatic_records)
