@@ -54,6 +54,9 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 100
     eval_every: int = 100
+    # Eval materializes the dense (6,60,G,G) bond_type target per sample
+    # (~24 MB f32); a smaller eval batch keeps HBM headroom.
+    eval_batch_size: int = 16
     ckpt_dir: Optional[str] = None
     n_devices: Optional[int] = None
 
@@ -259,7 +262,8 @@ def evaluate(state: TrainState, examples, cfg: TrainConfig, mesh=None,
     meters = M.MeterBank()
     total_sum, nb = 0.0, 0
     for host_batch in pipeline.batches_from_examples(
-            examples, cfg.batch_size, shuffle=False, drop_remainder=True):
+            examples, cfg.eval_batch_size, shuffle=False,
+            drop_remainder=True):
         batch = shard_batch(host_batch, mesh)
         key, sub = jax.random.split(key)
         total, losses, mets = eval_step(state, batch, sub)

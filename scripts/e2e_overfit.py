@@ -87,8 +87,13 @@ def main():
         truths.extend(e.smiles for e in chunk)
     report = score_pairs(truths, preds)
     print("E2E:", report)
-    assert report.exact_match > 0, "end-to-end slice failed: 0 exact matches"
-    print("E2E SLICE OK")
+    if report.exact_match > 0:
+        print("E2E SLICE OK")
+    else:
+        # Small runs may not reach exact-match; decode health is the gate.
+        print("E2E SLICE: no exact matches yet "
+              f"(decode_rate={report.decode_rate:.2f}); train longer")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
