@@ -34,7 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import vocab
-from ..ops.losses import activations
 from ..train.metrics import maxpool2d_same
 
 G = vocab.GRID
@@ -45,31 +44,29 @@ MAX_ATOM_PEAKS = 128
 MAX_BOND_PEAKS = 160
 OMEGA_PER_BOND = 4
 
-# Logit threshold -1 (img2smiles2.py:64) expressed on probabilities.
-_PROB_THRESHOLD = float(jax.nn.sigmoid(-1.0))
-
-
 @dataclass(frozen=True)
 class DecodeConfig:
     max_atoms: int = MAX_ATOM_PEAKS
     max_bonds: int = MAX_BOND_PEAKS
     omega_per_bond: int = OMEGA_PER_BOND
-    threshold: float = _PROB_THRESHOLD
+    # NMS threshold on logits (img2smiles2.py:64 uses > -1).
+    logit_threshold: float = -1.0
 
 
-def _topk_peaks(prob: jnp.ndarray, k: int, threshold: float):
-    """prob: (B, G, G). Returns (score, x, y, valid) each (B, k).
+def _topk_logit_peaks(logit: jnp.ndarray, k: int, threshold: float):
+    """logit: (B, G, G). Returns (logit_score, x, y, valid) each (B, k).
 
-    NMS keeps strict local maxima of the 3x3 neighborhood; ties inside a
+    NMS keeps local maxima of the 3x3 neighborhood; ties inside a
     plateau keep every cell (as the reference's == comparison does).
     """
-    pooled = maxpool2d_same(prob[..., None])[..., 0]
-    mask = (pooled == prob) & (prob > threshold)
-    scores = jnp.where(mask, prob, 0.0).reshape(prob.shape[0], -1)
+    pooled = maxpool2d_same(logit[..., None])[..., 0]
+    mask = (pooled == logit) & (logit > threshold)
+    scores = jnp.where(mask, logit, -jnp.inf).reshape(logit.shape[0], -1)
     top, idx = jax.lax.top_k(scores, k)
-    x = idx // G
-    y = idx % G
-    return top, x, y, top > 0.0
+    width = logit.shape[-1]
+    x = idx // width
+    y = idx % width
+    return top, x, y, jnp.isfinite(top)
 
 
 def _antipodal_keep(w: jnp.ndarray) -> jnp.ndarray:
@@ -128,50 +125,62 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
       bond_delta   (B, Kb*M, 2) float32 (dx, dy in grid units)
       bond_type    (B, Kb*M)    int32 (0..5)
       bond_valid   (B, Kb*M)    bool
+
+    HBM-lean: NMS/threshold/argmax operate on raw logits (sigmoid and
+    softmax are monotonic, so local maxima, the logit>-1 threshold and
+    class argmaxes are identical) — the reference's full-map sigmoid/
+    softmax materializations (img2smiles2.py:95-105, ~1.5 GB for the
+    360-wide head at batch 64) never happen; probabilities are computed
+    only on the tiny gathered peak values.
     """
-    act = activations(preds)
+    logit_thr = cfg.logit_threshold                 # img2smiles2.py:64
 
     # ---- atoms ----
-    a_prob = act["atom_target"][..., 0]
-    a_score, ax, ay, a_valid = _topk_peaks(a_prob, cfg.max_atoms,
-                                           cfg.threshold)
-    b_idx = jnp.arange(a_prob.shape[0])[:, None]
-    atom_type = jnp.argmax(act["atom_type"], axis=-1)[b_idx, ax, ay]
-    atom_charge = jnp.argmax(act["atom_charge"], axis=-1)[b_idx, ax, ay]
-    atom_hs = jnp.argmax(act["atom_hs"], axis=-1)[b_idx, ax, ay]
+    a_logit = preds["atom_target"][..., 0]
+    a_raw, ax, ay, a_valid = _topk_logit_peaks(a_logit, cfg.max_atoms,
+                                               logit_thr)
+    a_score = jax.nn.sigmoid(a_raw)
+    b_idx = jnp.arange(a_logit.shape[0])[:, None]
+    atom_type = jnp.argmax(preds["atom_type"], axis=-1)[b_idx, ax, ay]
+    atom_charge = jnp.argmax(preds["atom_charge"], axis=-1)[b_idx, ax, ay]
+    atom_hs = jnp.argmax(preds["atom_hs"], axis=-1)[b_idx, ax, ay]
 
     # ---- bond centers ----
-    b_prob = act["bond_target"][..., 0]
-    b_score, bx, by, b_valid = _topk_peaks(b_prob, cfg.max_bonds,
-                                           cfg.threshold)
+    b_logit = preds["bond_target"][..., 0]
+    _, bx, by, b_valid = _topk_logit_peaks(b_logit, cfg.max_bonds,
+                                           logit_thr)
 
-    # ---- omega bins at bond peaks ----
-    omega = act["bond_omega"]                       # (B, G, G, 60)
-    w = omega[b_idx, bx, by]                        # (B, Kb, 60)
+    # ---- omega bins at bond peaks (logit domain) ----
+    w = preds["bond_omega"][b_idx, bx, by]          # (B, Kb, 60)
     padded = jnp.concatenate([w[..., -1:], w, w[..., :1]], axis=-1)
     pooled = jax.lax.reduce_window(
         padded, -jnp.inf, jax.lax.max, (1, 1, 3), (1, 1, 1), "VALID")
-    local_max = (pooled == w) & (w > cfg.threshold)
+    local_max = (pooled == w) & (w > logit_thr)
     keep = local_max & _antipodal_keep(w)
 
-    w_masked = jnp.where(keep, w, 0.0)
-    o_score, o_bin = jax.lax.top_k(w_masked, cfg.omega_per_bond)
-    o_valid = o_score > 0.0                         # (B, Kb, M)
+    w_masked = jnp.where(keep, w, -jnp.inf)
+    o_raw, o_bin = jax.lax.top_k(w_masked, cfg.omega_per_bond)
+    o_valid = jnp.isfinite(o_raw)                   # (B, Kb, M)
+    o_score = jnp.where(o_valid, jax.nn.sigmoid(o_raw), 0.0)
 
-    # ---- per-(peak, bin) lookups ----
-    rho_map = act["bond_rho"]                       # (B, G, G, 60)
-    bt_map = jnp.argmax(act["bond_type"], axis=-2)  # (B, G, G, 60)
+    # ---- per-(peak, bin) lookups (gather first, reduce on the gathers —
+    # no full-map argmax materialization) ----
+    bt = preds["bond_type"]
+    bt = bt.reshape(bt.shape[:-1] + (NB, NO))       # (B, G, G, 6, 60)
+    bt_at_peak = bt[b_idx, bx, by]                  # (B, Kb, 6, 60)
+    bt_at_bin = jnp.take_along_axis(
+        bt_at_peak, o_bin[:, :, None, :], axis=-1)  # (B, Kb, 6, M)
+    btype = jnp.argmax(bt_at_bin, axis=2)           # (B, Kb, M)
     bxe = bx[..., None]
     bye = by[..., None]
     b_idx3 = b_idx[..., None]
-    rho = rho_map[b_idx3, bxe, bye, o_bin]          # (B, Kb, M)
-    btype = bt_map[b_idx3, bxe, bye, o_bin]
+    rho = jnp.abs(preds["bond_rho"][b_idx3, bxe, bye, o_bin])
 
     ang = o_bin * (np.pi / 30) + np.pi / 60 - np.pi / 2
     dx = rho * jnp.cos(ang)
     dy = rho * jnp.sin(ang)
 
-    Bsz = b_prob.shape[0]
+    Bsz = b_logit.shape[0]
     flat = lambda t: t.reshape(Bsz, cfg.max_bonds * cfg.omega_per_bond,
                                *t.shape[3:])
     bond_xy = jnp.broadcast_to(
