@@ -142,19 +142,24 @@ def loss_and_metrics(params, batch_stats, apply_fn, batch, rng,
     return total, aux
 
 
-@functools.partial(jax.jit, static_argnames=("amount",), donate_argnums=(0,))
-def train_step(state: TrainState, batch, rng, amount: float = 0.2):
+@functools.partial(jax.jit, static_argnames=("amount", "with_metrics"),
+                   donate_argnums=(0,))
+def train_step(state: TrainState, batch, rng, amount: float = 0.2,
+               with_metrics: bool = True):
+    """One SPMD training step. with_metrics=False skips the NMS metric
+    suite (a per-step cost the reference always pays, train.py:143-215);
+    callers may sample metrics every k-th step instead."""
     grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
     (total, aux), grads = grad_fn(state.params, state.batch_stats,
                                   state.apply_fn, batch, rng, amount,
-                                  True)
+                                  True, with_metrics)
     updates, opt_state = state.tx.update(grads, state.opt_state,
                                          state.params)
     params = optax.apply_updates(state.params, updates)
     state = state.replace(step=state.step + 1, params=params,
                           batch_stats=aux["batch_stats"],
                           opt_state=opt_state)
-    return state, total, aux["losses"], aux["metrics"]
+    return state, total, aux["losses"], aux.get("metrics", {})
 
 
 @jax.jit

@@ -81,9 +81,12 @@ def main():
                 for j in order[i:i + batch]]
             hb = pipeline.collate(examples)
             key, sub = jax.random.split(key)
+            with_m = step % 5 == 0
             state, total, losses, mets = trainer.train_step(
-                state, shard_batch(hb, mesh), sub, amount=cfg.amount)
-            meters.update(mets)
+                state, shard_batch(hb, mesh), sub, amount=cfg.amount,
+                with_metrics=with_m)
+            if with_m:
+                meters.update(mets)
             step += 1
             if step % cfg.log_every == 0:
                 avg = meters.averages()
