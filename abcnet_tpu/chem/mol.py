@@ -34,6 +34,9 @@ class Atom:
     x: float = 0.0
     y: float = 0.0
     isotope: int = 0
+    # Tetrahedral parity in the reference neighbor order (chem/stereo.py):
+    # 0 none, 1 '@', 2 '@@'.
+    parity: int = 0
 
     @property
     def total_hs(self) -> int:
@@ -132,7 +135,8 @@ class Mol:
         out = Mol()
         for a in self.atoms:
             out.add_atom(Atom(a.symbol, a.charge, a.num_explicit_hs,
-                              a.aromatic, a.implicit_hs, a.x, a.y, a.isotope))
+                              a.aromatic, a.implicit_hs, a.x, a.y,
+                              a.isotope, a.parity))
         for b in self.bonds:
             out.add_bond(b.a, b.b, b.order, b.aromatic, b.stereo)
         return out

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Tuple
 
 from . import periodic
 from .aromaticity import perceive_aromaticity
+from . import stereo as _stereo
 from .mol import Atom, Bond, Mol, MolError
 
 _BRACKET_RE = re.compile(
@@ -48,8 +49,15 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
     pending_bond: Optional[int] = None       # explicit bond order
     pending_aromatic_bond = False
     stack: List[int] = []
-    ring_open: Dict[int, Tuple[int, Optional[int], bool]] = {}
+    ring_open: Dict[int, Tuple[int, Optional[int], bool, object]] = {}
     aromatic_flags: List[bool] = []
+    # Chiral bookkeeping: atom -> (tag 1/2, neighbor-encounter order);
+    # ring-closure slots hold a placeholder patched when the ring closes.
+    chiral: Dict[int, Tuple[int, list]] = {}
+
+    def _note_neighbor(atom: Optional[int], entry) -> None:
+        if atom is not None and atom in chiral:
+            chiral[atom][1].append(entry)
 
     i = 0
     n = len(s)
@@ -92,16 +100,24 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
             if prev_atom is None:
                 raise SmilesError("ring closure before any atom")
             if num in ring_open:
-                other, open_order, open_arom = ring_open.pop(num)
+                other, open_order, open_arom, token = ring_open.pop(num)
                 order = pending_bond if pending_bond is not None else open_order
                 arom = (aromatic_flags[prev_atom] and aromatic_flags[other]
                         and order is None) or pending_aromatic_bond or open_arom
                 mol.add_bond(prev_atom, other,
                              order=order if order is not None else 1,
                              aromatic=arom)
+                _note_neighbor(prev_atom, other)
+                if other in chiral:  # patch the open-time placeholder
+                    lst = chiral[other][1]
+                    for k, e in enumerate(lst):
+                        if e is token:
+                            lst[k] = prev_atom
             else:
+                token = object()
                 ring_open[num] = (prev_atom, pending_bond,
-                                  pending_aromatic_bond)
+                                  pending_aromatic_bond, token)
+                _note_neighbor(prev_atom, token)
             pending_bond = None
             pending_aromatic_bond = False
             continue
@@ -130,6 +146,16 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
                                          num_explicit_hs=hcount,
                                          aromatic=aromatic, isotope=iso))
             aromatic_flags.append(aromatic)
+            ch_tag = m.group("chiral")
+            if ch_tag:
+                base = 2 if ch_tag.startswith("@@") or \
+                    ch_tag.endswith(("TH2",)) else 1
+                order0: list = []
+                if prev_atom is not None:
+                    order0.append(prev_atom)
+                if hcount >= 1:
+                    order0.append(_stereo.VIRTUAL)
+                chiral[atom_idx] = (base, order0)
             i = m.end()
         else:
             two = s[i:i + 2]
@@ -154,6 +180,7 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
             mol.add_bond(prev_atom, atom_idx,
                          order=order if order is not None else 1,
                          aromatic=arom)
+            _note_neighbor(prev_atom, atom_idx)
         prev_atom = atom_idx
         pending_bond = None
         pending_aromatic_bond = False
@@ -162,6 +189,14 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
         raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
     if stack:
         raise SmilesError("unclosed branch")
+
+    # Resolve chiral tags into reference-order parities (chem/stereo.py).
+    for idx, (base, order0) in chiral.items():
+        parsed = [e for e in order0 if isinstance(e, int)]
+        if len(parsed) == 3 and _stereo.VIRTUAL not in parsed:
+            parsed.append(_stereo.VIRTUAL)   # lone pair, last by convention
+        ref = _stereo.reference_order(mol, idx)
+        mol.atoms[idx].parity = _stereo.map_parity(base, parsed, ref)
 
     if sanitize:
         mol.sanitize()
@@ -266,13 +301,14 @@ def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
 # SMILES generation from ranks
 # ---------------------------------------------------------------------------
 
-def _atom_token(mol: Mol, idx: int, kekule: bool) -> str:
+def _atom_token(mol: Mol, idx: int, kekule: bool,
+                chiral_tag: str = "") -> str:
     a = mol.atoms[idx]
     sym = a.symbol
     aromatic = a.aromatic and not kekule
     order_sum = mol.bond_order_sum(idx)
     bare_ok = False
-    if a.charge == 0 and a.isotope == 0:
+    if a.charge == 0 and a.isotope == 0 and not chiral_tag:
         if aromatic:
             deg = mol.degree(idx)
             if sym == "C":
@@ -293,6 +329,7 @@ def _atom_token(mol: Mol, idx: int, kekule: bool) -> str:
     body = sym.lower() if (aromatic and sym in periodic.AROMATIC_OK) else sym
     if a.isotope:
         body = f"{a.isotope}{body}"
+    body += chiral_tag
     h = a.total_hs
     if h == 1:
         body += "H"
@@ -354,6 +391,7 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
                     ring_bond_digit, digit_free, closures_at) -> str:
     # Pass 1: find spanning tree + back edges in deterministic rank order.
     parent_bond: Dict[int, int] = {}
+    parent_of: Dict[int, int] = {}
     children: Dict[int, List[Tuple[int, int]]] = {}
     back_edges_at: Dict[int, List[Tuple[int, int]]] = {}
     seen = {root}
@@ -377,18 +415,42 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
                 seen_bonds.add(bi)
                 seen.add(u)
                 parent_bond[u] = bi
+                parent_of[u] = v
                 children.setdefault(v, []).append((u, bi))
                 stack.append(u)
 
     # Pass 2: emit string via recursive descent in rank order.
     out: List[str] = []
 
+    def _chiral_tag(v: int, ring_list, kid_list) -> str:
+        """Re-express the atom's reference parity in the emission order:
+        preceding atom, bracket H, ring-closure partners (digit
+        positions), then children (chem/stereo.py conventions)."""
+        parity = mol.atoms[v].parity
+        if not parity:
+            return ""
+        emission: List[int] = []
+        if v in parent_of:
+            emission.append(parent_of[v])
+        if mol.atoms[v].total_hs > 0:
+            emission.append(_stereo.VIRTUAL)
+        emission.extend(u for (u, _bi) in ring_list)
+        emission.extend(u for (u, _bi) in kid_list)
+        if len(emission) == 3 and _stereo.VIRTUAL not in emission:
+            emission.append(_stereo.VIRTUAL)
+        tag = _stereo.map_parity(parity, _stereo.reference_order(mol, v),
+                                 emission)
+        return {0: "", 1: "@", 2: "@@"}[tag]
+
     def emit(v: int) -> None:
         visited[v] = True
-        out.append(_atom_token(mol, v, kekule))
+        ring_list = sorted(back_edges_at.get(v, []),
+                           key=lambda t: ranks[t[0]])
+        kid_list = sorted(children.get(v, []), key=lambda t: ranks[t[0]])
+        out.append(_atom_token(mol, v, kekule,
+                               _chiral_tag(v, ring_list, kid_list)))
         # Ring closures at this atom, in first-seen order.
-        for (u, bi) in sorted(back_edges_at.get(v, []),
-                              key=lambda t: ranks[t[0]]):
+        for (u, bi) in ring_list:
             if bi in ring_bond_digit:
                 d = ring_bond_digit.pop(bi)
                 digit_free.insert(0, d)
@@ -399,7 +461,7 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
                 ring_bond_digit[bi] = d
                 out.append(_bond_token(mol, mol.bonds[bi], kekule))
                 out.append(_digit_str(d))
-        kids = sorted(children.get(v, []), key=lambda t: ranks[t[0]])
+        kids = kid_list
         for k, (u, bi) in enumerate(kids):
             bond_tok = _bond_token(mol, mol.bonds[bi], kekule)
             if k < len(kids) - 1:

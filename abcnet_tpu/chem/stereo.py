@@ -1,0 +1,140 @@
+"""Tetrahedral stereochemistry: parity bookkeeping, wedge perception.
+
+Fills the role RDKit plays for the reference pipeline's isomeric SMILES
+(/root/reference/src/generate_smiles.py:117 ``MolToSmiles(isomericSmiles
+=True)`` and MolFromMolBlock's wedge perception): tetrahedral ``@``/
+``@@`` tags parsed from and emitted into SMILES, and parity assignment
+from 2-D coordinates + wedge/hash bond annotations.
+
+Conventions
+-----------
+``Atom.parity`` stores chirality in a *reference neighbor order*:
+neighbors sorted by atom index, with the implicit hydrogen (or lone
+pair) as a virtual neighbor in the LAST position.
+
+  parity 1  ('@'):  looking from the first reference neighbor toward
+                    the center, the remaining reference neighbors run
+                    anticlockwise
+  parity 2  ('@@'): clockwise
+  parity 0: no stereo information
+
+Any other neighbor ordering (a SMILES emission order, a parse order)
+maps to/from the reference order by permutation sign: an odd
+permutation flips the tag.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from .mol import Mol, STEREO_HASH, STEREO_WEDGE
+
+VIRTUAL = -1   # implicit H / lone pair placeholder in neighbor orders
+
+
+def perm_parity(values: Sequence[int]) -> int:
+    """0 for even permutations, 1 for odd — inversion-count parity of a
+    sequence of unique comparable values."""
+    v = list(values)
+    n = len(v)
+    inv = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if v[j] < v[i]:
+                inv += 1
+    return inv & 1
+
+
+def reference_order(mol: Mol, idx: int) -> List[int]:
+    """Reference neighbor order: atom indices ascending, virtual last
+    when the site has fewer than four explicit neighbors."""
+    nbrs = sorted(mol.neighbors(idx))
+    if len(nbrs) < 4:
+        nbrs.append(VIRTUAL)
+    return nbrs
+
+
+def map_parity(tag: int, from_order: Sequence[int],
+               to_order: Sequence[int]) -> int:
+    """Re-express a tag given in ``from_order`` into ``to_order``."""
+    if tag == 0:
+        return 0
+    if len(from_order) != len(to_order) or \
+            set(from_order) != set(to_order):
+        return 0
+    # permutation taking from_order -> to_order
+    perm = [from_order.index(x) for x in to_order]
+    if perm_parity(perm):
+        return 3 - tag
+    return tag
+
+
+def parity_from_positions(center: Sequence[float],
+                          ordered: Sequence[Optional[Sequence[float]]]
+                          ) -> int:
+    """Tag for neighbors listed in a given order with 3-D positions.
+
+    ``ordered`` holds 3 or 4 positions; a single None entry (virtual
+    neighbor) must be LAST. Returns 1 ('@' — anticlockwise from the
+    first listed neighbor), 2, or 0 when the geometry is degenerate.
+    """
+    pts = [p for p in ordered if p is not None]
+    if len(pts) < 3:
+        return 0
+    u = [[p[k] - center[k] for k in range(3)] for p in pts[:3]]
+    # triple product u1 . (u2 x u3)
+    t = (u[0][0] * (u[1][1] * u[2][2] - u[1][2] * u[2][1])
+         - u[0][1] * (u[1][0] * u[2][2] - u[1][2] * u[2][0])
+         + u[0][2] * (u[1][0] * u[2][1] - u[1][1] * u[2][0]))
+    if abs(t) < 1e-9:
+        return 0
+    return 1 if t > 0 else 2
+
+
+def assign_parities_from_wedges(mol: Mol) -> int:
+    """Set Atom.parity from 2-D coordinates + wedge/hash bonds.
+
+    A wedge (hash) bond with its narrow end at atom ``a`` lifts the far
+    atom toward (away from) the viewer — the RDKit MolFromMolBlock
+    perception the reference relies on. Returns the number of centers
+    assigned.
+    """
+    assigned = 0
+    for idx in range(mol.num_atoms):
+        a = mol.atoms[idx]
+        nbrs = mol.neighbors(idx)
+        if not (3 <= len(nbrs) <= 4) or a.aromatic:
+            continue
+        # z offsets from wedges whose narrow end is this atom.
+        z = {}
+        any_wedge = False
+        for b in mol.bonds_of(idx):
+            j = b.other(idx)
+            if b.stereo == STEREO_WEDGE and b.a == idx:
+                z[j] = 1.0
+                any_wedge = True
+            elif b.stereo == STEREO_HASH and b.a == idx:
+                z[j] = -1.0
+                any_wedge = True
+            else:
+                z[j] = 0.0
+        if not any_wedge:
+            continue
+        order = reference_order(mol, idx)
+        positions: List[Optional[Tuple[float, float, float]]] = []
+        for nb in order:
+            if nb == VIRTUAL:
+                positions.append(None)
+            else:
+                nba = mol.atoms[nb]
+                positions.append((nba.x, nba.y, z[nb]))
+        tag = parity_from_positions((a.x, a.y, 0.0), positions)
+        if tag:
+            a.parity = tag
+            assigned += 1
+    return assigned
+
+
+def clear_parities(mol: Mol) -> None:
+    for a in mol.atoms:
+        a.parity = 0
