@@ -51,9 +51,17 @@ def _leaky_relu(x: np.ndarray) -> np.ndarray:
 def _graph_to_smiles(types: List[str], charges: List[int],
                      positions: List[Sequence[float]], hs: List[int],
                      bond_pairs_1b: List[List[int]],
-                     bond_orders: List[int]) -> Optional[str]:
+                     bond_orders: List[int],
+                     perceive_stereo: bool = False) -> Optional[str]:
     """Shared tail: implicit-H collection + MolBlock -> canonical SMILES
-    (img2smiles2.py:299-317, generate_smiles.py:10-119)."""
+    (img2smiles2.py:299-317, generate_smiles.py:10-119).
+
+    perceive_stereo=True additionally assigns tetrahedral parities from
+    the decoded wedge/hash bonds + 2-D coordinates (the RDKit
+    MolFromMolBlock behavior) and emits isomeric SMILES. Off by default:
+    the synthetic training data's wedges are decorative, so ground-truth
+    SMILES are non-isomeric (reference metric 2 semantics).
+    """
     impl_h: List[int] = []
     for (x, y), order_ in zip(bond_pairs_1b, bond_orders):
         if order_ == 4:
@@ -69,6 +77,9 @@ def _graph_to_smiles(types: List[str], charges: List[int],
         # (generate_smiles.py:115); AddHs-rendered molecules would
         # otherwise emit [H]-laden SMILES that never exact-match.
         mol = mol.remove_explicit_h_atoms()
+        if perceive_stereo:
+            from ..chem.stereo import assign_parities_from_wedges
+            assign_parities_from_wedges(mol)
         return to_smiles(mol, canonical=True)
     except Exception:
         return None
