@@ -63,7 +63,7 @@ def _cmd_img2smiles(args) -> None:
 
     from .data import pipeline
     from .eval.scoring import score_pairs, write_results_csv
-    from .infer import assemble_batch, extract_peaks
+    from .infer import assemble_batch
     from .train.trainer import (TrainConfig, create_state,
                                 restore_checkpoint)
 

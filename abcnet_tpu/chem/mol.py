@@ -9,7 +9,7 @@ charges, wedge/hash annotations and 2-D coordinates, plus sanitization
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from . import periodic

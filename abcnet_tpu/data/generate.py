@@ -20,11 +20,10 @@ from chem.random_mol.
 
 from __future__ import annotations
 
-import math
 import os
 import random
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

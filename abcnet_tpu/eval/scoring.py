@@ -15,7 +15,7 @@ its module docstring for scope).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 from ..chem import canonical_smiles, from_smiles
 from ..chem.fingerprint import morgan_dice

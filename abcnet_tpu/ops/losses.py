@@ -21,7 +21,7 @@ Two bond-type implementations:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

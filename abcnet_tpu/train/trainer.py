@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..data import pipeline, vocab
 from ..models.unet import UNet, PRODUCTION_HEADS, init_unet
