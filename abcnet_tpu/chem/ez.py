@@ -1,0 +1,95 @@
+"""Cis/trans (E/Z) double-bond stereo: representation and perception.
+
+Complements chem/stereo.py's tetrahedral parities; together they cover
+the isomeric-SMILES surface RDKit provides to the reference
+(``MolToSmiles(isomericSmiles=True)``).
+
+Representation
+--------------
+``Bond.ez`` on a double bond a=b: 0 none; CIS (1) / TRANS (2) defined
+for the *reference substituent pair* — the lowest-index neighbor of
+``a`` (excluding ``b``) and the lowest-index neighbor of ``b``
+(excluding ``a``). Any other substituent pair flips accordingly (each
+end has at most two substituents; switching one end's substituent flips
+cis<->trans).
+
+SMILES ``/`` ``\\`` semantics: a directional single bond written
+``p/q`` "rises" from p to q. For a double bond a=b with directional
+neighbors x-a and b-y, normalizing both to neighbor->atom orientation:
+equal directions put the substituents on the same side (CIS), opposite
+directions mean TRANS. (Check: F/C=C/F, trans-difluoroethene: F->C
+rises, F'->C' falls — opposite.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from .mol import Bond, Mol
+
+EZ_NONE = 0
+EZ_CIS = 1
+EZ_TRANS = 2
+
+
+def reference_substituents(mol: Mol, bi: int) -> Optional[Tuple[int, int]]:
+    """Lowest-index substituent on each end of double bond ``bi``."""
+    bond = mol.bonds[bi]
+    xs = [n for n in mol.neighbors(bond.a) if n != bond.b]
+    ys = [n for n in mol.neighbors(bond.b) if n != bond.a]
+    if not xs or not ys:
+        return None
+    return min(xs), min(ys)
+
+
+def ez_for_pair(mol: Mol, bi: int, x: int, y: int) -> int:
+    """Bond.ez re-expressed for substituent pair (x on a-side, y on
+    b-side): flips once per non-reference substituent."""
+    bond = mol.bonds[bi]
+    if bond.ez == EZ_NONE:
+        return EZ_NONE
+    ref = reference_substituents(mol, bi)
+    if ref is None:
+        return EZ_NONE
+    flips = int(x != ref[0]) + int(y != ref[1])
+    return bond.ez if flips % 2 == 0 else 3 - bond.ez
+
+
+def set_ez_from_pair(mol: Mol, bi: int, x: int, y: int, rel: int) -> None:
+    """Store Bond.ez given the relation observed for pair (x, y)."""
+    ref = reference_substituents(mol, bi)
+    if ref is None or rel == EZ_NONE:
+        return
+    flips = int(x != ref[0]) + int(y != ref[1])
+    mol.bonds[bi].ez = rel if flips % 2 == 0 else 3 - rel
+
+
+def assign_ez_from_coords(mol: Mol) -> int:
+    """Perceive cis/trans for acyclic, non-aromatic double bonds from
+    2-D coordinates (the reference gets this from RDKit's MolBlock
+    perception). Returns the number of bonds assigned."""
+    ring = mol.ring_bond_flags()
+    assigned = 0
+    for bi, bond in enumerate(mol.bonds):
+        if bond.order != 2 or bond.aromatic or ring[bi]:
+            continue
+        ref = reference_substituents(mol, bi)
+        if ref is None:
+            continue
+        x, y = ref
+        a, b = mol.atoms[bond.a], mol.atoms[bond.b]
+        ax, ay = a.x, a.y
+        dx, dy = mol.atoms[bond.b].x - ax, mol.atoms[bond.b].y - ay
+        sx = dx * (mol.atoms[x].y - ay) - dy * (mol.atoms[x].x - ax)
+        sy = dx * (mol.atoms[y].y - b.y) - dy * (mol.atoms[y].x - b.x)
+        if abs(sx) < 1e-9 or abs(sy) < 1e-9:
+            continue
+        rel = EZ_CIS if (sx > 0) == (sy > 0) else EZ_TRANS
+        set_ez_from_pair(mol, bi, x, y, rel)
+        assigned += 1
+    return assigned
+
+
+def clear_ez(mol: Mol) -> None:
+    for b in mol.bonds:
+        b.ez = EZ_NONE

@@ -58,6 +58,9 @@ class Bond:
     order: int = 1
     aromatic: bool = False
     stereo: int = STEREO_NONE  # wedge/hash, narrow end at atom ``a``
+    # Cis/trans tag for double bonds, reference-substituent convention
+    # (chem/ez.py): 0 none, 1 cis, 2 trans.
+    ez: int = 0
 
     def other(self, idx: int) -> int:
         return self.b if idx == self.a else self.a
@@ -138,7 +141,8 @@ class Mol:
                               a.aromatic, a.implicit_hs, a.x, a.y,
                               a.isotope, a.parity))
         for b in self.bonds:
-            out.add_bond(b.a, b.b, b.order, b.aromatic, b.stereo)
+            bi = out.add_bond(b.a, b.b, b.order, b.aromatic, b.stereo)
+            out.bonds[bi].ez = b.ez
         return out
 
     # -- ring perception ---------------------------------------------------
@@ -293,10 +297,23 @@ class Mol:
             a = self.atoms[old]
             out.add_atom(Atom(a.symbol, a.charge, a.num_explicit_hs,
                               a.aromatic, a.implicit_hs, a.x, a.y, a.isotope))
-        for b in self.bonds:
+        ez_transfer = []
+        for old_bi, b in enumerate(self.bonds):
             if b.a in remap and b.b in remap:
-                out.add_bond(remap[b.a], remap[b.b], b.order, b.aromatic,
-                             b.stereo)
+                bi = out.add_bond(remap[b.a], remap[b.b], b.order,
+                                  b.aromatic, b.stereo)
+                if b.ez:
+                    ez_transfer.append((old_bi, bi, b.ez))
+        # ez is defined in the reference-substituent convention; transfer
+        # after ALL bonds exist (the convention reads the new adjacency)
+        # since remapping may change which substituent is lowest-index.
+        if ez_transfer:
+            from .ez import reference_substituents, set_ez_from_pair
+            for old_bi, bi, ez in ez_transfer:
+                ref = reference_substituents(self, old_bi)
+                if ref is not None and ref[0] in remap and ref[1] in remap:
+                    set_ez_from_pair(out, bi, remap[ref[0]],
+                                     remap[ref[1]], ez)
         out.assign_implicit_hydrogens()
         return out
 

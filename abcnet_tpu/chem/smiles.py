@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Tuple
 
 from . import periodic
 from .aromaticity import perceive_aromaticity
+from . import ez as _ez
 from . import stereo as _stereo
 from .mol import Atom, Bond, Mol, MolError
 
@@ -32,6 +33,7 @@ _BRACKET_RE = re.compile(
 
 _ORGANIC_AROMATIC = {"b", "c", "n", "o", "p", "s"}
 _BOND_CHARS = {"-": 1, "=": 2, "#": 3, ":": 1, "/": 1, "\\": 1}
+_DIR_CHARS = {"/": 1, "\\": -1}
 
 
 class SmilesError(MolError):
@@ -48,8 +50,11 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
     prev_atom: Optional[int] = None
     pending_bond: Optional[int] = None       # explicit bond order
     pending_aromatic_bond = False
+    pending_dir = 0                          # +1 '/', -1 '\\' (rise p->q)
+    # bond idx -> (written p, written q, rise)
+    dir_bonds: Dict[int, Tuple[int, int, int]] = {}
     stack: List[int] = []
-    ring_open: Dict[int, Tuple[int, Optional[int], bool, object]] = {}
+    ring_open: Dict[int, tuple] = {}
     aromatic_flags: List[bool] = []
     # Chiral bookkeeping: atom -> (tag 1/2, neighbor-encounter order);
     # ring-closure slots hold a placeholder patched when the ring closes.
@@ -86,6 +91,7 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
         if c in _BOND_CHARS:
             pending_bond = _BOND_CHARS[c]
             pending_aromatic_bond = c == ":"
+            pending_dir = _DIR_CHARS.get(c, 0)
             i += 1
             continue
         if c.isdigit() or c == "%":
@@ -100,13 +106,18 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
             if prev_atom is None:
                 raise SmilesError("ring closure before any atom")
             if num in ring_open:
-                other, open_order, open_arom, token = ring_open.pop(num)
+                other, open_order, open_arom, token, open_dir = \
+                    ring_open.pop(num)
                 order = pending_bond if pending_bond is not None else open_order
                 arom = (aromatic_flags[prev_atom] and aromatic_flags[other]
                         and order is None) or pending_aromatic_bond or open_arom
-                mol.add_bond(prev_atom, other,
-                             order=order if order is not None else 1,
-                             aromatic=arom)
+                new_bi = mol.add_bond(prev_atom, other,
+                                      order=order if order is not None else 1,
+                                      aromatic=arom)
+                if pending_dir:
+                    dir_bonds[new_bi] = (prev_atom, other, pending_dir)
+                elif open_dir:
+                    dir_bonds[new_bi] = (other, prev_atom, open_dir)
                 _note_neighbor(prev_atom, other)
                 if other in chiral:  # patch the open-time placeholder
                     lst = chiral[other][1]
@@ -116,10 +127,12 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
             else:
                 token = object()
                 ring_open[num] = (prev_atom, pending_bond,
-                                  pending_aromatic_bond, token)
+                                  pending_aromatic_bond, token,
+                                  pending_dir)
                 _note_neighbor(prev_atom, token)
             pending_bond = None
             pending_aromatic_bond = False
+            pending_dir = 0
             continue
 
         # Atom token
@@ -177,18 +190,51 @@ def from_smiles(s: str, sanitize: bool = True) -> Mol:
             order = pending_bond
             arom = (aromatic_flags[prev_atom] and aromatic_flags[atom_idx]
                     and order is None) or pending_aromatic_bond
-            mol.add_bond(prev_atom, atom_idx,
-                         order=order if order is not None else 1,
-                         aromatic=arom)
+            new_bi = mol.add_bond(prev_atom, atom_idx,
+                                  order=order if order is not None else 1,
+                                  aromatic=arom)
+            if pending_dir:
+                dir_bonds[new_bi] = (prev_atom, atom_idx, pending_dir)
             _note_neighbor(prev_atom, atom_idx)
         prev_atom = atom_idx
         pending_bond = None
         pending_aromatic_bond = False
+        pending_dir = 0
 
     if ring_open:
         raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
     if stack:
         raise SmilesError("unclosed branch")
+
+    # Resolve cis/trans from directional bonds (chem/ez.py).
+    if dir_bonds:
+        def _norm_dir(bi: int, nbr: int, end: int) -> int:
+            """Rise normalized to nbr->end orientation; 0 if untagged."""
+            if bi not in dir_bonds:
+                return 0
+            p, q, rise = dir_bonds[bi]
+            return rise if (p, q) == (nbr, end) else -rise
+
+        for dbi, dbond in enumerate(mol.bonds):
+            if dbond.order != 2 or dbond.aromatic:
+                continue
+            da = db = 0
+            xa = ya = None
+            for sbi in mol.bond_indices_of(dbond.a):
+                nbr = mol.bonds[sbi].other(dbond.a)
+                d = _norm_dir(sbi, nbr, dbond.a)
+                if d:
+                    da, xa = d, nbr
+                    break
+            for sbi in mol.bond_indices_of(dbond.b):
+                nbr = mol.bonds[sbi].other(dbond.b)
+                d = _norm_dir(sbi, nbr, dbond.b)
+                if d:
+                    db, ya = d, nbr
+                    break
+            if da and db:
+                rel = _ez.EZ_CIS if da == db else _ez.EZ_TRANS
+                _ez.set_ez_from_pair(mol, dbi, xa, ya, rel)
 
     # Resolve chiral tags into reference-order parities (chem/stereo.py).
     for idx, (base, order0) in chiral.items():
@@ -419,6 +465,58 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
                 children.setdefault(v, []).append((u, bi))
                 stack.append(u)
 
+    # Direction assignment for cis/trans double bonds (chem/ez.py):
+    # dir_map[bond] = +1 '/' or -1 '\' as written parent->child.
+    dir_map: Dict[int, int] = {}
+
+    def _end_candidate(end: int, skip_bi: int):
+        """Preferred tree single bond at a double-bond end: the parent
+        bond, else the lowest-rank child. Returns (nbr, bi, sign) where
+        normalized(nbr->end) = sign * dir_map[bi]."""
+        pb = parent_bond.get(end)
+        if pb is not None and pb != skip_bi:
+            bond = mol.bonds[pb]
+            if bond.order == 1 and not bond.aromatic:
+                return parent_of[end], pb, +1
+        for (u, bi) in sorted(children.get(end, []),
+                              key=lambda t: ranks[t[0]]):
+            bond = mol.bonds[bi]
+            if bi != skip_bi and bond.order == 1 and not bond.aromatic:
+                return u, bi, -1
+        return None
+
+    doubles = [bi for bi in seen_bonds
+               if mol.bonds[bi].order == 2 and not mol.bonds[bi].aromatic
+               and mol.bonds[bi].ez]
+    for dbi in sorted(doubles, key=lambda bi: sorted(
+            (ranks[mol.bonds[bi].a], ranks[mol.bonds[bi].b]))):
+        dbond = mol.bonds[dbi]
+        ca = _end_candidate(dbond.a, dbi)
+        cb = _end_candidate(dbond.b, dbi)
+        if ca is None or cb is None:
+            continue
+        xa, ba_, sa = ca
+        yb, bb_, sb = cb
+        rel = _ez.ez_for_pair(mol, dbi, xa, yb)
+        if rel == _ez.EZ_NONE:
+            continue
+        # normalized(xa->a) == normalized(yb->b)  <=>  cis
+        want_equal = rel == _ez.EZ_CIS
+        na = dir_map.get(ba_, 0) * sa
+        nb = dir_map.get(bb_, 0) * sb
+        if na == 0 and nb == 0:
+            na = 1
+            dir_map[ba_] = sa  # sign * dir = +1
+            dir_map[bb_] = (1 if want_equal else -1) * sb
+        elif na != 0 and nb == 0:
+            dir_map[bb_] = (na if want_equal else -na) * sb
+        elif nb != 0 and na == 0:
+            dir_map[ba_] = (nb if want_equal else -nb) * sa
+        else:
+            if (na == nb) != want_equal:
+                # over-constrained conjugated system: leave as is
+                continue
+
     # Pass 2: emit string via recursive descent in rank order.
     out: List[str] = []
 
@@ -464,6 +562,9 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
         kids = kid_list
         for k, (u, bi) in enumerate(kids):
             bond_tok = _bond_token(mol, mol.bonds[bi], kekule)
+            if bi in dir_map and mol.bonds[bi].order == 1 \
+                    and not mol.bonds[bi].aromatic:
+                bond_tok = "/" if dir_map[bi] > 0 else "\\"
             if k < len(kids) - 1:
                 out.append("(")
                 out.append(bond_tok)

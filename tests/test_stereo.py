@@ -120,3 +120,78 @@ def test_wedge_assignment_roundtrip():
 
 def test_achiral_emission_unchanged():
     assert to_smiles(from_smiles("CC(N)C(=O)O"), canonical=True).count("@") == 0
+
+
+# ---------------------------------------------------------------------------
+# Cis/trans (E/Z)
+# ---------------------------------------------------------------------------
+
+def test_ez_roundtrip_and_difference():
+    a = to_smiles(from_smiles("F/C=C/F"), canonical=True)
+    b = to_smiles(from_smiles("F/C=C\\F"), canonical=True)
+    assert a != b
+    assert to_smiles(from_smiles(a), canonical=True) == a
+    assert to_smiles(from_smiles(b), canonical=True) == b
+
+
+def test_ez_conjugated_diene_stable():
+    s = to_smiles(from_smiles("C/C=C/C=C/C"), canonical=True)
+    assert to_smiles(from_smiles(s), canonical=True) == s
+    # the shared middle bond carries one mark for both double bonds
+    assert s.count("/") + s.count("\\") >= 3
+
+
+def test_ez_invariant_under_relabeling():
+    from abcnet_tpu.chem.ez import (ez_for_pair, reference_substituents,
+                                    set_ez_from_pair)
+
+    def permuted_ez(mol, perm):
+        out = Mol()
+        inv = [0] * len(perm)
+        for new, old in enumerate(perm):
+            inv[old] = new
+        for old in perm:
+            a = mol.atoms[old]
+            out.add_atom(Atom(a.symbol, a.charge, a.num_explicit_hs,
+                              a.aromatic, a.implicit_hs, a.x, a.y,
+                              a.isotope, 0))
+        transfers = []
+        for bi, b in enumerate(mol.bonds):
+            nbi = out.add_bond(inv[b.a], inv[b.b], b.order, b.aromatic,
+                               b.stereo)
+            if b.ez:
+                transfers.append((bi, nbi, b.ez))
+        for bi, nbi, ez in transfers:   # after all bonds exist
+            ref = reference_substituents(mol, bi)
+            set_ez_from_pair(out, nbi, inv[ref[0]], inv[ref[1]], ez)
+        return out
+
+    rng = random.Random(1)
+    for s in ["F/C=C/F", "C/C=C\\C(Br)Cl", "C/C=C/C=C/C"]:
+        mol = from_smiles(s)
+        want = to_smiles(mol, canonical=True)
+        for _ in range(6):
+            perm = list(range(mol.num_atoms))
+            rng.shuffle(perm)
+            assert to_smiles(permuted_ez(mol, perm),
+                             canonical=True) == want
+
+
+def test_ez_perception_from_coords():
+    from abcnet_tpu.chem.ez import EZ_CIS, EZ_TRANS, assign_ez_from_coords
+    # trans-2-butene drawn flat: methyls on opposite sides.
+    mol = Mol()
+    c1 = mol.add_atom(Atom("C", x=0.0, y=1.0))
+    c2 = mol.add_atom(Atom("C", x=1.0, y=0.0))
+    c3 = mol.add_atom(Atom("C", x=2.0, y=0.0))
+    c4 = mol.add_atom(Atom("C", x=3.0, y=-1.0))
+    mol.add_bond(c1, c2, 1)
+    b = mol.add_bond(c2, c3, 2)
+    mol.add_bond(c3, c4, 1)
+    mol.sanitize()
+    assert assign_ez_from_coords(mol) == 1
+    assert mol.bonds[b].ez == EZ_TRANS
+    # cis: both methyls same side.
+    mol.atoms[c4].x, mol.atoms[c4].y = 3.0, 1.0
+    assert assign_ez_from_coords(mol) == 1
+    assert mol.bonds[b].ez == EZ_CIS
