@@ -138,3 +138,38 @@ def assign_parities_from_wedges(mol: Mol) -> int:
 def clear_parities(mol: Mol) -> None:
     for a in mol.atoms:
         a.parity = 0
+
+
+def prune_nonstereogenic(mol: Mol) -> int:
+    """Clear stereo tags on non-stereogenic sites (RDKit's
+    AssignStereochemistry cleanup role): a tetrahedral center with two
+    constitutionally equivalent substituents, or a double bond whose
+    end carries two equivalent substituents, is not a stereocenter.
+
+    Equivalence is judged by the canonical-rank partition (computed
+    without stereo), which covers constitutional symmetry; para-style
+    stereo-dependent subtleties are out of scope. Returns the number of
+    tags cleared.
+    """
+    from .smiles import canonical_ranks
+    ranks = canonical_ranks(mol)
+    cleared = 0
+    for idx, a in enumerate(mol.atoms):
+        if not a.parity:
+            continue
+        nbr_ranks = [ranks[n] for n in mol.neighbors(idx)]
+        if len(set(nbr_ranks)) != len(nbr_ranks):
+            a.parity = 0
+            cleared += 1
+    for b in mol.bonds:
+        if not b.ez:
+            continue
+        ok = True
+        for end, excl in ((b.a, b.b), (b.b, b.a)):
+            subs = [ranks[n] for n in mol.neighbors(end) if n != excl]
+            if len(set(subs)) != len(subs):
+                ok = False
+        if not ok:
+            b.ez = 0
+            cleared += 1
+    return cleared

@@ -195,3 +195,21 @@ def test_ez_perception_from_coords():
     mol.atoms[c4].x, mol.atoms[c4].y = 3.0, 1.0
     assert assign_ez_from_coords(mol) == 1
     assert mol.bonds[b].ez == EZ_CIS
+
+
+def test_prune_nonstereogenic():
+    from abcnet_tpu.chem.stereo import prune_nonstereogenic
+    # C with two methyls is NOT a stereocenter despite the parsed tag.
+    mol = from_smiles("C[C@@H](C)O")
+    assert mol.atoms[1].parity != 0
+    assert prune_nonstereogenic(mol) == 1
+    assert mol.atoms[1].parity == 0
+    # 1,1-difluoro double bond end: not E/Z stereogenic.
+    mol = from_smiles("F/C(F)=C/C")
+    assert prune_nonstereogenic(mol) >= (1 if any(b.ez for b in mol.bonds)
+                                         else 0)
+    assert all(b.ez == 0 for b in mol.bonds)
+    # Genuine stereocenter survives.
+    mol = from_smiles("N[C@@H](C)C(=O)O")
+    assert prune_nonstereogenic(mol) == 0
+    assert mol.atoms[1].parity != 0
