@@ -304,6 +304,18 @@ class Mol:
                                   b.aromatic, b.stereo)
                 if b.ez:
                     ez_transfer.append((old_bi, bi, b.ez))
+        # Tetrahedral parities: a removed explicit H becomes the virtual
+        # neighbor (reference-order remap, chem/stereo.py).
+        from .stereo import VIRTUAL, map_parity, reference_order
+        for old in keep:
+            p = self.atoms[old].parity
+            if not p:
+                continue
+            old_ref = reference_order(self, old)
+            mapped = [VIRTUAL if (x == VIRTUAL or x not in remap)
+                      else remap[x] for x in old_ref]
+            new_ref = reference_order(out, remap[old])
+            out.atoms[remap[old]].parity = map_parity(p, mapped, new_ref)
         # ez is defined in the reference-substituent convention; transfer
         # after ALL bonds exist (the convention reads the new adjacency)
         # since remapping may change which substituent is lowest-index.

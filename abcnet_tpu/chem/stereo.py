@@ -105,6 +105,9 @@ def assign_parities_from_wedges(mol: Mol) -> int:
         nbrs = mol.neighbors(idx)
         if not (3 <= len(nbrs) <= 4) or a.aromatic:
             continue
+        # Tetrahedral centers are sp3: every bond single, none aromatic.
+        if any(b.order != 1 or b.aromatic for b in mol.bonds_of(idx)):
+            continue
         # z offsets from wedges whose narrow end is this atom.
         z = {}
         any_wedge = False

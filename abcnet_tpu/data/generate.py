@@ -82,10 +82,16 @@ def _decorate_stereo(mol: Mol, rng: random.Random) -> None:
 def generate_sample(rng: random.Random, size: int = 512,
                     mode: str = "mixed",
                     max_layout_tries: int = 3) -> Optional[Sample]:
-    """Generate one (image, labels, smiles) sample, or None on rejection."""
+    """Generate one (image, labels, smiles) sample, or None on rejection.
+
+    Ground-truth SMILES are isomeric (the reference's GT comes from
+    RDKit canonical SMILES, stereo included): after a successful render
+    the decorated wedge/hash bonds are perceived against the depicted
+    coordinates, non-stereogenic tags pruned, and the canonical SMILES
+    carries the resulting @/@@ — exactly what the decoder reproduces
+    from the image (infer/assemble.py perceive_stereo)."""
     mol = random_molecule(rng)
     perceive_aromaticity(mol)
-    smiles = to_smiles(mol, canonical=True)
 
     if mode == "mixed":
         mode = "rdkit" if rng.random() < 0.5 else "indigo"
@@ -129,6 +135,18 @@ def generate_sample(rng: random.Random, size: int = 512,
 
     atoms_string = _atoms_string(render_mol, result, aromatic_records)
     bonds_string = _bonds_string(render_mol, result, aromatic_records)
+
+    # Isomeric ground truth: perceive the decorated wedges against the
+    # depicted coordinates (same convention the decoder sees).
+    from ..chem.stereo import assign_parities_from_wedges, \
+        prune_nonstereogenic
+    for i, (r, c) in enumerate(result.atom_rc):
+        render_mol.atoms[i].x = r
+        render_mol.atoms[i].y = c
+    assign_parities_from_wedges(render_mol)
+    prune_nonstereogenic(render_mol)
+    gt_mol = render_mol.remove_explicit_h_atoms()
+    smiles = to_smiles(gt_mol, canonical=True)
     return Sample(result.image, atoms_string, bonds_string, smiles)
 
 

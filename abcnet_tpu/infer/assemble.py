@@ -52,15 +52,16 @@ def _graph_to_smiles(types: List[str], charges: List[int],
                      positions: List[Sequence[float]], hs: List[int],
                      bond_pairs_1b: List[List[int]],
                      bond_orders: List[int],
-                     perceive_stereo: bool = False) -> Optional[str]:
+                     perceive_stereo: bool = True) -> Optional[str]:
     """Shared tail: implicit-H collection + MolBlock -> canonical SMILES
     (img2smiles2.py:299-317, generate_smiles.py:10-119).
 
-    perceive_stereo=True additionally assigns tetrahedral parities from
-    the decoded wedge/hash bonds + 2-D coordinates (the RDKit
-    MolFromMolBlock behavior) and emits isomeric SMILES. Off by default:
-    the synthetic training data's wedges are decorative, so ground-truth
-    SMILES are non-isomeric (reference metric 2 semantics).
+    perceive_stereo assigns tetrahedral parities from the decoded
+    wedge/hash bonds + 2-D coordinates and prunes non-stereogenic tags
+    (the RDKit MolFromMolBlock + AssignStereochemistry behavior), so
+    the emitted SMILES are isomeric like the reference's
+    MolToSmiles(isomericSmiles=True) — matching the generator's
+    isomeric ground truth.
     """
     impl_h: List[int] = []
     for (x, y), order_ in zip(bond_pairs_1b, bond_orders):
@@ -78,8 +79,10 @@ def _graph_to_smiles(types: List[str], charges: List[int],
         # otherwise emit [H]-laden SMILES that never exact-match.
         mol = mol.remove_explicit_h_atoms()
         if perceive_stereo:
-            from ..chem.stereo import assign_parities_from_wedges
+            from ..chem.stereo import (assign_parities_from_wedges,
+                                       prune_nonstereogenic)
             assign_parities_from_wedges(mol)
+            prune_nonstereogenic(mol)
         return to_smiles(mol, canonical=True)
     except Exception:
         return None
