@@ -89,8 +89,7 @@ def _cmd_img2smiles(args) -> None:
     bs = args.batch_size
     for i in range(0, len(samples) - bs + 1, bs):
         chunk = samples[i:i + bs]
-        imgs = jnp.asarray(np.stack([s.image for s in chunk]))
-        peaks = run(imgs)
+        peaks = run(np.stack([s.image for s in chunk]))
         preds_all.extend(assemble_batch(peaks, processes=args.processes))
         truths.extend(s.smiles for s in chunk)
         if (i // bs) % 10 == 0:
@@ -135,9 +134,9 @@ def _cmd_test_acc(args) -> None:
 
     @jax.jit
     def run(batch):
-        images = pipeline.device_preprocess(batch["image_u8"],
-                                            jax.random.PRNGKey(0),
-                                            train=False)
+        images = pipeline.device_unpack_bits(batch["image_bits"],
+                                             jax.random.PRNGKey(0),
+                                             train=False)
         preds = state.apply_fn({"params": state.params,
                                 "batch_stats": state.batch_stats},
                                images, train=False)

@@ -20,6 +20,7 @@ from chem.random_mol.
 
 from __future__ import annotations
 
+import math
 import os
 import random
 from dataclasses import dataclass
@@ -71,7 +72,12 @@ def _decorate_stereo(mol: Mol, rng: random.Random) -> None:
             continue
         for begin in (b.a, b.b):
             a = mol.atoms[begin]
+            # Only true sp3 candidates: every bond at the narrow end
+            # single and non-aromatic, so the drawn wedge is a
+            # perceivable stereocenter on both the GT and decode side.
             if a.symbol == "C" and mol.degree(begin) >= 3 and \
+                    all(nb.order == 1 and not nb.aromatic
+                        for nb in mol.bonds_of(begin)) and \
                     rng.random() < 0.06:
                 if begin != b.a:
                     b.a, b.b = b.b, b.a
@@ -115,6 +121,12 @@ def generate_sample(rng: random.Random, size: int = 512,
         style = RenderStyle.random(rng, size)
         result = render(render_mol, coords, style, rng,
                         aromatic_render=aromatic_records)
+        if result is not None and _stereo_ambiguous(render_mol, result):
+            # Near-vertical wedge bonds sit on the omega direction-bit
+            # margin (encode.py direction canonicalization); re-rotate.
+            if t + 1 < max_layout_tries:
+                result = None
+                continue
         if result is not None:
             break
     if result is None:
@@ -148,6 +160,22 @@ def generate_sample(rng: random.Random, size: int = 512,
     gt_mol = render_mol.remove_explicit_h_atoms()
     smiles = to_smiles(gt_mol, canonical=True)
     return Sample(result.image, atoms_string, bonds_string, smiles)
+
+
+def _stereo_ambiguous(mol: Mol, result: RenderResult,
+                      margin: float = 0.08) -> bool:
+    """True when any wedge/hash bond is within ~4.5 degrees of vertical
+    in row coordinates — where the encoded direction bit and the omega
+    bin disagree at quantization margins."""
+    for b in mol.bonds:
+        if not b.stereo:
+            continue
+        r1, c1 = result.atom_rc[b.a]
+        r2, c2 = result.atom_rc[b.b]
+        length = math.hypot(r2 - r1, c2 - c1)
+        if length > 0 and abs(r2 - r1) < margin * length:
+            return True
+    return False
 
 
 def _atoms_string(mol: Mol, result: RenderResult,

@@ -83,10 +83,25 @@ def sample_to_example(sample: Sample, rng: random.Random,
     return Example(img, labels, sample.smiles)
 
 
-def collate(examples: Sequence[Example]) -> Dict[str, np.ndarray]:
-    """Stack host examples into one batch dict (uint8 images)."""
+def pack_images(images_u8: np.ndarray, threshold: float = 0.6) -> np.ndarray:
+    """Binarize (ink = gray/255 < threshold, utils.py:63) and bit-pack
+    along the column axis: (B, H, W) uint8 -> (B, H, W//8) uint8.
+
+    1 bit/pixel instead of 8 is an 8x smaller host->device transfer —
+    and, with the axon tunnel retaining a staging buffer per transfer
+    (observed ~batch-size bytes leaked per step), the difference between
+    a multi-hour run and an OOM kill.
+    """
+    ink = (images_u8.astype(np.float32) / 255.0) < threshold
+    return np.packbits(ink, axis=-1)
+
+
+def collate(examples: Sequence[Example],
+            threshold: float = 0.6) -> Dict[str, np.ndarray]:
+    """Stack host examples into one batch dict (bit-packed images)."""
     return {
-        "image_u8": np.stack([e.image_u8 for e in examples]),
+        "image_bits": pack_images(
+            np.stack([e.image_u8 for e in examples]), threshold),
         "atoms": np.stack([e.labels["atoms"] for e in examples]),
         "n_atoms": np.stack([e.labels["n_atoms"] for e in examples]),
         "bonds_i": np.stack([e.labels["bonds_i"] for e in examples]),
@@ -95,26 +110,48 @@ def collate(examples: Sequence[Example]) -> Dict[str, np.ndarray]:
     }
 
 
+def _apply_noise(ink, key: jax.Array, amount: float):
+    """Salt/pepper parity with reference src/utils.py:73-80: salt rate
+    ~ U(0, amount/100) per image adds ink; pepper ~ U(0, amount)."""
+    b = ink.shape[0]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    salt_rate = jax.random.uniform(k1, (b, 1, 1)) * (amount / 100.0)
+    pepper_rate = jax.random.uniform(k2, (b, 1, 1)) * amount
+    salt = jax.random.uniform(k3, ink.shape) < salt_rate
+    pepper = jax.random.uniform(k4, ink.shape) < pepper_rate
+    return jnp.logical_and(jnp.logical_or(ink, salt),
+                           jnp.logical_not(pepper))
+
+
 def device_preprocess(image_u8: jnp.ndarray, key: jax.Array,
                       amount: float = 0.2,
                       train: bool = True,
                       threshold: float = 0.6) -> jnp.ndarray:
     """uint8 batch -> float32 foreground mask (B, H, W, 1), in XLA.
 
-    Parity with reference src/utils.py:63-80: ink = gray/255 < 0.6;
-    salt rate ~ U(0, amount/100) per image adds ink; pepper rate
-    ~ U(0, amount) per image erases ink.
+    Parity with reference src/utils.py:63-80: ink = gray/255 < 0.6,
+    then salt/pepper noise.
     """
-    b = image_u8.shape[0]
     ink = (image_u8.astype(jnp.float32) / 255.0) < threshold
     if train and amount > 0:
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        salt_rate = jax.random.uniform(k1, (b, 1, 1)) * (amount / 100.0)
-        pepper_rate = jax.random.uniform(k2, (b, 1, 1)) * amount
-        salt = jax.random.uniform(k3, image_u8.shape) < salt_rate
-        pepper = jax.random.uniform(k4, image_u8.shape) < pepper_rate
-        ink = jnp.logical_and(jnp.logical_or(ink, salt),
-                              jnp.logical_not(pepper))
+        ink = _apply_noise(ink, key, amount)
+    return ink.astype(jnp.float32)[..., None]
+
+
+def device_unpack_bits(image_bits: jnp.ndarray, key: jax.Array,
+                       amount: float = 0.2,
+                       train: bool = True) -> jnp.ndarray:
+    """Bit-packed batch (B, H, W//8) -> float32 mask (B, H, W, 1).
+
+    The binarize threshold was applied at pack time (pack_images);
+    salt/pepper noise still runs in XLA.
+    """
+    b, h, wb = image_bits.shape
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)    # MSB-first
+    bits = (image_bits[..., None] >> shifts) & jnp.uint8(1)
+    ink = bits.reshape(b, h, wb * 8) > 0
+    if train and amount > 0:
+        ink = _apply_noise(ink, key, amount)
     return ink.astype(jnp.float32)[..., None]
 
 
@@ -231,8 +268,9 @@ def synthetic_batch(batch_size: int, seed: int = 0,
     bonds_f = np.zeros((batch_size, MAX_BONDS, 1), np.float32)
     bonds_f[:, :n_bonds, 0] = rng.uniform(2, 8, (batch_size, n_bonds))
     return {
-        "image_u8": rng.integers(0, 256, (batch_size, size, size),
-                                 dtype=np.uint8),
+        "image_bits": pack_images(
+            rng.integers(0, 256, (batch_size, size, size),
+                         dtype=np.uint8)),
         "atoms": atoms,
         "n_atoms": np.full((batch_size,), n_atoms, np.int32),
         "bonds_i": bonds_i,

@@ -86,29 +86,35 @@ def _antipodal_keep(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(lower, keep_lower, keep_upper)
 
 
-def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None):
+def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
+                        threshold: float = 0.6):
     """Fused inference pipeline: uint8 batch -> peak arrays, optionally
     sharded over a data-parallel mesh (the multi-chip batched-inference
     role of the reference's DataParallel forward + Pool decode,
-    multi_proc_img2smiles2.py:268-300). Returns run(image_u8)."""
-    from ..data.pipeline import device_preprocess
+    multi_proc_img2smiles2.py:268-300). Images are binarized + bit-packed
+    on host (1 bit/pixel transfers); unpack runs in XLA. Returns
+    run(image_u8)."""
+    import numpy as onp
+
+    from ..data.pipeline import device_unpack_bits, pack_images
     from ..parallel import shard_batch
 
     cfg = decode_cfg or DecodeConfig()
 
     @jax.jit
-    def _run(image_u8):
-        images = device_preprocess(image_u8, jax.random.PRNGKey(0),
-                                   train=False)
+    def _run(image_bits):
+        images = device_unpack_bits(image_bits, jax.random.PRNGKey(0),
+                                    train=False)
         preds = state.apply_fn({"params": state.params,
                                 "batch_stats": state.batch_stats},
                                images, train=False)
         return extract_peaks(preds, cfg)
 
     def run(image_u8):
+        bits = pack_images(onp.asarray(image_u8), threshold)
         if mesh is not None:
-            image_u8 = shard_batch({"x": image_u8}, mesh)["x"]
-        return _run(image_u8)
+            bits = shard_batch({"x": bits}, mesh)["x"]
+        return _run(bits)
 
     return run
 

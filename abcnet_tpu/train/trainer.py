@@ -117,8 +117,12 @@ def loss_and_metrics(params, batch_stats, apply_fn, batch, rng,
                      amount: float, train: bool,
                      with_metrics: bool = True):
     """Single fused forward: preprocess -> targets -> model -> losses."""
-    images = pipeline.device_preprocess(batch["image_u8"], rng,
-                                        amount=amount, train=train)
+    if "image_bits" in batch:
+        images = pipeline.device_unpack_bits(batch["image_bits"], rng,
+                                             amount=amount, train=train)
+    else:
+        images = pipeline.device_preprocess(batch["image_u8"], rng,
+                                            amount=amount, train=train)
     grid = images.shape[1] // vocab.STRIDE
     targets = build_targets(batch, with_full_type=not train, grid=grid)
 

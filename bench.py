@@ -38,22 +38,23 @@ def main() -> None:
     variables = init_unet(jax.random.PRNGKey(0), model)
 
     @jax.jit
-    def infer_pipeline(variables, image_u8):
-        images = pipeline.device_preprocess(image_u8, jax.random.PRNGKey(0),
-                                            train=False)
+    def infer_pipeline(variables, image_bits):
+        images = pipeline.device_unpack_bits(image_bits,
+                                             jax.random.PRNGKey(0),
+                                             train=False)
         preds = model.apply(variables, images, train=False)
         return extract_peaks(preds)
 
     host = pipeline.synthetic_batch(BATCH, seed=0)
-    image_u8 = jnp.asarray(host["image_u8"])
+    image_bits = host["image_bits"]
 
     for _ in range(WARMUP):
-        peaks = infer_pipeline(variables, image_u8)
+        peaks = infer_pipeline(variables, image_bits)
     jax.block_until_ready(peaks)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        peaks = infer_pipeline(variables, image_u8)
+        peaks = infer_pipeline(variables, image_bits)
     jax.block_until_ready(peaks)
     dt = time.perf_counter() - t0
 

@@ -45,14 +45,14 @@ def main():
                 for s in samples]
     batch = pipeline.collate(examples)
 
-    images = pipeline.device_preprocess(
-        jnp.asarray(batch["image_u8"]), jax.random.PRNGKey(0), train=False)
+    images = pipeline.device_unpack_bits(
+        jnp.asarray(batch["image_bits"]), jax.random.PRNGKey(0), train=False)
     preds = state.apply_fn({"params": state.params,
                             "batch_stats": state.batch_stats},
                            images, train=False)
     act = activations(preds)
     targets = build_targets({k: jnp.asarray(v) for k, v in batch.items()
-                             if k != "image_u8"}, with_full_type=True)
+                             if k != "image_bits"}, with_full_type=True)
     t = _to_nhwc_targets(targets)
 
     for head in ["atom_target", "bond_target"]:

@@ -17,7 +17,7 @@ import numpy as np
 
 from abcnet_tpu.data import pipeline
 from abcnet_tpu.eval.scoring import score_pairs
-from abcnet_tpu.infer import assemble_batch, extract_peaks
+from abcnet_tpu.infer import assemble_batch
 from abcnet_tpu.parallel import make_mesh, replicate_tree, shard_batch
 from abcnet_tpu.train import trainer
 
@@ -70,19 +70,12 @@ def main():
     # Decode the (un-augmented) training images.
     truths, preds = [], []
 
-    @jax.jit
-    def run(image_u8):
-        images = pipeline.device_preprocess(image_u8, jax.random.PRNGKey(0),
-                                            train=False)
-        out = state.apply_fn({"params": state.params,
-                              "batch_stats": state.batch_stats},
-                             images, train=False)
-        return extract_peaks(out)
+    from abcnet_tpu.infer.decode import make_infer_pipeline
+    run = make_infer_pipeline(state)
 
     for i in range(0, min(len(examples), 128) - batch + 1, batch):
         chunk = examples[i:i + batch]
-        imgs = jnp.asarray(np.stack([e.image_u8 for e in chunk]))
-        peaks = run(imgs)
+        peaks = run(np.stack([e.image_u8 for e in chunk]))
         preds.extend(assemble_batch(peaks))
         truths.extend(e.smiles for e in chunk)
     report = score_pairs(truths, preds)

@@ -116,8 +116,7 @@ def main():
     truths, preds_all = [], []
     for i in range(0, EVAL_N - EVAL_BATCH + 1, EVAL_BATCH):
         chunk = eval_samples[i:i + EVAL_BATCH]
-        imgs = jnp.asarray(np.stack([s.image for s in chunk]))
-        peaks = run(imgs)
+        peaks = run(np.stack([s.image for s in chunk]))
         preds_all.extend(assemble_batch(peaks))
         truths.extend(s.smiles for s in chunk)
     write_results_csv("/tmp/train_phase2_results.csv", truths, preds_all)

@@ -18,7 +18,7 @@ import numpy as np
 from abcnet_tpu.data import pipeline
 from abcnet_tpu.data.generate import generate_sample
 from abcnet_tpu.eval.scoring import score_pairs, write_results_csv
-from abcnet_tpu.infer import assemble_batch, extract_peaks
+from abcnet_tpu.infer import assemble_batch
 from abcnet_tpu.parallel import make_mesh, replicate_tree, shard_batch
 from abcnet_tpu.train import trainer
 from abcnet_tpu.train.metrics import MeterBank
@@ -109,20 +109,13 @@ def main():
                 f"{k}={v:.4f}" for k, v in sorted(avg.items())), flush=True)
 
     # ---- end-to-end decode on the held-out set ----
-    @jax.jit
-    def run(image_u8):
-        images = pipeline.device_preprocess(image_u8, jax.random.PRNGKey(0),
-                                            train=False)
-        preds = state.apply_fn({"params": state.params,
-                                "batch_stats": state.batch_stats},
-                               images, train=False)
-        return extract_peaks(preds)
+    from abcnet_tpu.infer.decode import make_infer_pipeline
+    run = make_infer_pipeline(state)
 
     truths, preds_all = [], []
     for i in range(0, EVAL_N - EVAL_BATCH + 1, EVAL_BATCH):
         chunk = eval_samples[i:i + EVAL_BATCH]
-        imgs = jnp.asarray(np.stack([s.image for s in chunk]))
-        peaks = run(imgs)
+        peaks = run(np.stack([s.image for s in chunk]))
         preds_all.extend(assemble_batch(peaks))
         truths.extend(s.smiles for s in chunk)
     write_results_csv("/tmp/train_run_results.csv", truths, preds_all)

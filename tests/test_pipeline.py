@@ -38,8 +38,8 @@ def test_sample_to_example_and_collate():
         if s is not None:
             examples.append(pipeline.sample_to_example(s, rng, train=True))
     batch = pipeline.collate(examples)
-    assert batch["image_u8"].shape == (3, 512, 512)
-    assert batch["image_u8"].dtype == np.uint8
+    assert batch["image_bits"].shape == (3, 512, 512 // 8)
+    assert batch["image_bits"].dtype == np.uint8
     assert batch["atoms"].shape[1:] == (96, 5)
     assert batch["bonds_i"].shape[1:] == (112, 4)
     assert (batch["n_atoms"] > 0).all()
@@ -77,7 +77,7 @@ def test_batches_from_examples_drop_remainder():
             examples.append(pipeline.sample_to_example(s, rng, train=False))
     batches = list(pipeline.batches_from_examples(examples, 2, seed=0))
     assert len(batches) == 2
-    assert all(b["image_u8"].shape[0] == 2 for b in batches)
+    assert all(b["image_bits"].shape[0] == 2 for b in batches)
 
 
 def test_prefetch_iterator_preserves_items():
@@ -87,8 +87,18 @@ def test_prefetch_iterator_preserves_items():
 
 def test_synthetic_batch_sizes():
     b = pipeline.synthetic_batch(2, size=128)
-    assert b["image_u8"].shape == (2, 128, 128)
+    assert b["image_bits"].shape == (2, 128, 128 // 8)
     assert (b["atoms"][:, :24, :2] < 32).all()
+
+
+def test_pack_unpack_bits_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (2, 64, 64), dtype=np.uint8)
+    bits = pipeline.pack_images(img, threshold=0.6)
+    out = pipeline.device_unpack_bits(jnp.asarray(bits),
+                                      jax.random.PRNGKey(0), train=False)
+    expect = ((img.astype(np.float32) / 255.0) < 0.6).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(out)[..., 0], expect)
 
 
 def test_otsu_threshold_separates_bimodal():

@@ -88,5 +88,7 @@ def test_mesh_sharded_inference(tiny_setup):
     from abcnet_tpu.infer.decode import make_infer_pipeline
     cfg, mesh, state, batch = tiny_setup
     run = make_infer_pipeline(state, mesh)
-    peaks = run(np.asarray(batch["image_u8"]))
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (8, 128, 128), dtype=np.uint8)
+    peaks = run(imgs)
     assert peaks["atom_xy"].shape[0] == 8
