@@ -168,3 +168,20 @@ def test_random_renumbering_fuzz():
             pmol = _permute_mol(mol, perm)
             assert to_smiles(pmol, canonical=True) == base, (
                 f"{name}: permuted form diverged")
+
+
+def test_canonical_fuzz_random_molecules():
+    """Canonical stability: parse(write(mol)) is a fixed point over a
+    population of random drug-like molecules."""
+    import random as _random
+
+    from abcnet_tpu.chem import perceive_aromaticity
+    from abcnet_tpu.chem.random_mol import random_molecule
+
+    rng = _random.Random(7)
+    for _ in range(60):
+        mol = random_molecule(rng)
+        perceive_aromaticity(mol)
+        s1 = to_smiles(mol, canonical=True)
+        s2 = to_smiles(from_smiles(s1), canonical=True)
+        assert s1 == s2, s1
