@@ -109,8 +109,15 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray],
 
 
 def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
-                    verbose: bool = False) -> Optional[str]:
-    """Decode one image's peaks (row `index` of the batch arrays)."""
+                    verbose: bool = False,
+                    midpoint_check: Optional[float] = None) -> Optional[str]:
+    """Decode one image's peaks (row `index` of the batch arrays).
+
+    midpoint_check: optional grid-unit threshold reproducing the
+    multiprocessing decoder's extra sanity rule — drop a bond when the
+    midpoint of its matched atoms is farther than this from the bond
+    peak (multi_proc_img2smiles2.py:160-162 uses 7 px = 1.75 units).
+    """
     av = peaks["atom_valid"][index]
     bv = peaks["bond_valid"][index]
     if not av.any() or not bv.any():
@@ -171,6 +178,10 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
             continue
         if [i1, i2] in bond_pairs or [i2, i1] in bond_pairs:
             continue
+        if midpoint_check is not None:
+            mid = (atoms_position[i1] + atoms_position[i2]) / 2.0
+            if np.hypot(*(mid - bxy[i])) > midpoint_check:
+                continue
         bond_pairs.append([i1, i2])
         bond_orders.append(vocab.BOND_DEVOCAB[int(btype[i])])
     if not bond_pairs:
