@@ -83,7 +83,7 @@ def _cmd_img2smiles(args) -> None:
         from .parallel import make_mesh
         mesh = make_mesh(args.mesh)
     from .infer.decode import make_infer_pipeline
-    run = make_infer_pipeline(state, mesh)
+    run = make_infer_pipeline(state, mesh, threshold=args.threshold)
 
     truths, preds_all = [], []
     bs = args.batch_size
@@ -200,6 +200,9 @@ def main(argv=None) -> None:
     i.add_argument("--processes", type=int, default=0)
     i.add_argument("--mesh", type=int, default=0,
                    help="shard inference batches over N devices")
+    i.add_argument("--threshold", type=float, default=0.6,
+                   help="binarize threshold (reference: 0.6 synthetic, "
+                        "0.2 scanned benchmarks, utils_for_test.py:23)")
     i.add_argument("--dtype", default="bfloat16")
     i.set_defaults(fn=_cmd_img2smiles)
 
