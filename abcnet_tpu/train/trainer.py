@@ -53,6 +53,9 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 100
     eval_every: int = 100
+    # Train metrics are sampled every k-th step (the NMS metric suite
+    # costs real step time; the reference computes it every step).
+    metrics_every: int = 5
     # Eval materializes the dense (6,60,G,G) bond_type target per sample
     # (~24 MB f32); a smaller eval batch keeps HBM headroom.
     eval_batch_size: int = 16
@@ -242,9 +245,12 @@ def fit(cfg: TrainConfig, train_examples, test_examples=None,
         for i, host_batch in enumerate(pipeline.PrefetchIterator(it)):
             batch = shard_batch(host_batch, mesh)
             key, sub = jax.random.split(key)
+            with_m = int(state.step) % cfg.metrics_every == 0
             state, total, losses, mets = train_step(state, batch, sub,
-                                                    amount=cfg.amount)
-            meters.update(mets)
+                                                    amount=cfg.amount,
+                                                    with_metrics=with_m)
+            if with_m:
+                meters.update(mets)
             imgs_done += cfg.batch_size
             step = int(state.step)
             if verbose and step % cfg.log_every == 0:
