@@ -189,17 +189,33 @@ def predict_step(state: TrainState, images):
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(state: TrainState, ckpt_dir: str, step: int) -> None:
+    """Persist params/batch_stats/step AND the full optimizer state.
+
+    opt_state is saved as a flat leaf list (Adam mu/nu, counts, injected
+    learning_rate) so resume continues with identical moments and LR —
+    the reference loses both across restarts (train.py:53 is a
+    commented-out load_state_dict with no optimizer state).
+    """
     import orbax.checkpoint as ocp
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     ckptr = ocp.StandardCheckpointer()
+    opt_leaves = [np.asarray(x) for x in
+                  jax.device_get(jax.tree_util.tree_leaves(state.opt_state))]
     ckptr.save(path, {"params": jax.device_get(state.params),
                       "batch_stats": jax.device_get(state.batch_stats),
-                      "step": int(state.step)})
+                      "step": int(state.step),
+                      "opt_leaves": opt_leaves})
     ckptr.wait_until_finished()
 
 
 def restore_checkpoint(state: TrainState, ckpt_dir: str,
                        step: Optional[int] = None) -> TrainState:
+    """Restore the latest (or given-step) checkpoint into `state`.
+
+    Checkpoints written before opt_state was persisted restore with
+    fresh optimizer moments (a warning is printed); new ones resume
+    bit-exact including the injected learning_rate.
+    """
     import orbax.checkpoint as ocp
     root = os.path.abspath(ckpt_dir)
     if step is None:
@@ -210,12 +226,25 @@ def restore_checkpoint(state: TrainState, ckpt_dir: str,
         step = steps[-1]
     path = os.path.join(root, f"step_{step:08d}")
     ckptr = ocp.StandardCheckpointer()
+    opt_leaves, opt_treedef = jax.tree_util.tree_flatten(state.opt_state)
     target = {"params": jax.device_get(state.params),
               "batch_stats": jax.device_get(state.batch_stats),
-              "step": 0}
-    restored = ckptr.restore(path, target)
+              "step": 0,
+              "opt_leaves": [np.asarray(x) for x in
+                             jax.device_get(opt_leaves)]}
+    try:
+        restored = ckptr.restore(path, target)
+        opt_state = jax.tree_util.tree_unflatten(
+            opt_treedef, restored["opt_leaves"])
+    except BaseException:  # legacy checkpoint without opt_leaves
+        del target["opt_leaves"]
+        restored = ckptr.restore(path, target)
+        opt_state = state.opt_state
+        print(f"[ckpt] {path}: no optimizer state (legacy); "
+              "Adam moments start fresh", flush=True)
     return state.replace(params=restored["params"],
                          batch_stats=restored["batch_stats"],
+                         opt_state=opt_state,
                          step=jnp.asarray(restored["step"], jnp.int32))
 
 
@@ -237,22 +266,33 @@ def fit(cfg: TrainConfig, train_examples, test_examples=None,
     t0 = time.time()
     imgs_done = 0
 
-    for epoch in range(cfg.epochs):
-        if epoch == cfg.lr_drop_epoch:
+    # Resume-aware epoch bookkeeping: the step lives on device; track it
+    # on host to avoid a per-step device->host sync (the reference's
+    # per-step `.cpu().numpy()` fetches are its throughput killer,
+    # train.py:145-215 — we must not reintroduce one via int(state.step)).
+    step = int(state.step)
+    steps_per_epoch = max(len(train_examples) // cfg.batch_size, 1)
+    start_epoch = min(step // steps_per_epoch, cfg.epochs)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        if epoch >= cfg.lr_drop_epoch:
+            # >= not ==: a resume past the drop point must not silently
+            # train at full LR again (the saved opt_state also carries
+            # the LR, but legacy checkpoints don't).
             state = set_learning_rate(state, cfg.lr * cfg.lr_drop_factor)
         it = pipeline.batches_from_examples(
             train_examples, cfg.batch_size, seed=cfg.seed + epoch)
         for i, host_batch in enumerate(pipeline.PrefetchIterator(it)):
             batch = shard_batch(host_batch, mesh)
             key, sub = jax.random.split(key)
-            with_m = int(state.step) % cfg.metrics_every == 0
+            with_m = step % cfg.metrics_every == 0
             state, total, losses, mets = train_step(state, batch, sub,
                                                     amount=cfg.amount,
                                                     with_metrics=with_m)
             if with_m:
                 meters.update(mets)
             imgs_done += cfg.batch_size
-            step = int(state.step)
+            step += 1
             if verbose and step % cfg.log_every == 0:
                 avg = meters.averages()
                 ips = imgs_done / (time.time() - t0)

@@ -77,6 +77,32 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_restores_opt_state(tiny_setup, tmp_path):
+    """Resume must continue with identical Adam moments + injected LR
+    (ADVICE r1: a resume used to silently reset moments and train at
+    full LR past the drop point)."""
+    cfg, mesh, state, batch = tiny_setup
+    state = jax.tree_util.tree_map(jnp.array, state)
+    key = jax.random.PRNGKey(3)
+    for _ in range(2):  # non-trivial mu/nu
+        key, sub = jax.random.split(key)
+        state, *_ = trainer.train_step(state, batch, sub,
+                                       amount=cfg.amount,
+                                       with_metrics=False)
+    state = trainer.set_learning_rate(state, 1.25e-5)
+    trainer.save_checkpoint(state, str(tmp_path), int(state.step))
+    restored = trainer.restore_checkpoint(trainer.create_state(cfg),
+                                          str(tmp_path))
+    la = jax.tree_util.tree_leaves(restored.opt_state)
+    lb = jax.tree_util.tree_leaves(state.opt_state)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    lr = float(restored.opt_state[2].hyperparams["learning_rate"])
+    assert abs(lr - 1.25e-5) < 1e-12
+    assert int(restored.step) == int(state.step)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
