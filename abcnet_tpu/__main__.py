@@ -87,13 +87,21 @@ def _cmd_img2smiles(args) -> None:
 
     truths, preds_all = [], []
     bs = args.batch_size
-    for i in range(0, len(samples) - bs + 1, bs):
+    for i in range(0, len(samples), bs):
         chunk = samples[i:i + bs]
+        k = len(chunk)
+        if k < bs:
+            # Pad the trailing chunk to the full batch (keeps the jitted
+            # program's shape cache) and drop the padding afterwards —
+            # the reference scores every row (img2smiles2.py:342-344);
+            # silently truncating len%bs samples is not parity.
+            chunk = chunk + [chunk[-1]] * (bs - k)
         peaks = run(np.stack([s.image for s in chunk]))
-        preds_all.extend(assemble_batch(peaks, processes=args.processes))
-        truths.extend(s.smiles for s in chunk)
+        preds_all.extend(
+            assemble_batch(peaks, processes=args.processes)[:k])
+        truths.extend(s.smiles for s in chunk[:k])
         if (i // bs) % 10 == 0:
-            print(f"{i + bs}/{len(samples)}")
+            print(f"{min(i + bs, len(samples))}/{len(samples)}")
     write_results_csv(args.out, truths, preds_all)
     print(score_pairs(truths, preds_all))
 
@@ -188,7 +196,11 @@ def main(argv=None) -> None:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--ckpt", help="checkpoint dir")
     t.add_argument("--dtype", default="bfloat16")
-    t.add_argument("--test-split", action="store_true", default=True)
+    t.add_argument("--test-split", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="hold out 1/90 for eval (--no-test-split to "
+                        "train on everything; reference split "
+                        "train.py:19-21)")
     t.add_argument("--resume", help="checkpoint dir to resume from")
     t.set_defaults(fn=_cmd_train)
 

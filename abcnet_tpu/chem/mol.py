@@ -145,6 +145,21 @@ class Mol:
             out.bonds[bi].ez = b.ez
         return out
 
+    def strip_stereo(self) -> "Mol":
+        """Copy with all stereochemistry removed: tetrahedral parities,
+        cis/trans tags, wedge/hash annotations.
+
+        The non-isomeric output mode — role of the reference's
+        ``MolToSmiles(..., isomericSmiles=False)`` in its second accuracy
+        metric (cal_acc.py:35-36)."""
+        out = self.copy()
+        for a in out.atoms:
+            a.parity = 0
+        for b in out.bonds:
+            b.ez = 0
+            b.stereo = STEREO_NONE
+        return out
+
     # -- ring perception ---------------------------------------------------
 
     def ring_bond_flags(self) -> List[bool]:

@@ -301,10 +301,15 @@ _MAX_CANON_ATTEMPTS = 128
 
 
 def to_smiles(mol: Mol, canonical: bool = True,
-              kekule: bool = False) -> str:
-    """Write a (canonical) SMILES string."""
+              kekule: bool = False, isomeric: bool = True) -> str:
+    """Write a (canonical) SMILES string.
+
+    isomeric=False strips all stereo (parities, E/Z) before writing —
+    MolToSmiles(isomericSmiles=False) parity (cal_acc.py:35-36)."""
     if mol.num_atoms == 0:
         return ""
+    if not isomeric:
+        mol = mol.strip_stereo()
     if not canonical:
         ranks = list(range(mol.num_atoms))
         return _write(mol, ranks, kekule)
@@ -588,10 +593,10 @@ def _digit_str(d: int) -> str:
     return str(d) if d < 10 else f"%{d:02d}"
 
 
-def canonical_smiles(s: str) -> str:
+def canonical_smiles(s: str, isomeric: bool = True) -> str:
     """Parse, re-perceive aromaticity, and emit canonical SMILES."""
     mol = from_smiles(s)
     # Re-perceive from the kekulized structure so equivalent aromatic and
     # kekule inputs converge to one form.
     perceive_aromaticity(mol)
-    return to_smiles(mol, canonical=True)
+    return to_smiles(mol, canonical=True, isomeric=isomeric)

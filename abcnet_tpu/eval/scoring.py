@@ -27,24 +27,31 @@ class ScoreReport:
     n: int
     n_decoded: int
     exact_match: float           # metric 1: tautomer-insensitive exact
-    exact_match_canonical: float  # metric 2: canonical exact match rate
+    exact_match_canonical: float  # metric 2: NON-isomeric canonical exact
     tanimoto_like: float         # metric 3: mean Morgan-Dice
     decode_rate: float
+    exact_match_isomeric: float = 0.0  # extra: isomeric canonical exact
 
     def __str__(self) -> str:
         return (f"n={self.n} decoded={self.n_decoded} "
                 f"exact={self.exact_match:.4f} "
                 f"exact_canonical={self.exact_match_canonical:.4f} "
+                f"exact_isomeric={self.exact_match_isomeric:.4f} "
                 f"dice={self.tanimoto_like:.4f} "
                 f"decode_rate={self.decode_rate:.4f}")
 
 
 def score_pairs(truths: Sequence[str],
                 preds: Sequence[Optional[str]]) -> ScoreReport:
+    """The three cal_acc.py counters, computed independently per pair:
+    metric 2 compares NON-isomeric canonicals (stereo stripped,
+    cal_acc.py:35-36); the isomeric comparison is reported as an extra
+    (stricter) column since this framework decodes stereo."""
     assert len(truths) == len(preds)
     n = len(truths)
     hits_taut = 0
-    hits = 0
+    hits_noniso = 0
+    hits_iso = 0
     dice_sum = 0.0
     decoded = 0
     for truth, pred in zip(truths, preds):
@@ -52,12 +59,14 @@ def score_pairs(truths: Sequence[str],
             continue
         decoded += 1
         try:
-            ct = canonical_smiles(truth)
-            cp = canonical_smiles(pred)
+            iso_eq = canonical_smiles(truth) == canonical_smiles(pred)
+            noniso_eq = (canonical_smiles(truth, isomeric=False)
+                         == canonical_smiles(pred, isomeric=False))
         except Exception:
             continue
-        if ct == cp:
-            hits += 1
+        hits_iso += iso_eq
+        hits_noniso += noniso_eq
+        if iso_eq:
             hits_taut += 1
             dice_sum += 1.0
             continue
@@ -74,9 +83,10 @@ def score_pairs(truths: Sequence[str],
     return ScoreReport(
         n=n, n_decoded=decoded,
         exact_match=hits_taut / n if n else 0.0,
-        exact_match_canonical=hits / n if n else 0.0,
+        exact_match_canonical=hits_noniso / n if n else 0.0,
         tanimoto_like=dice_sum / n if n else 0.0,
         decode_rate=decoded / n if n else 0.0,
+        exact_match_isomeric=hits_iso / n if n else 0.0,
     )
 
 

@@ -3,67 +3,204 @@
 Measures the reference's headline workload (img2smiles2.py batch loop:
 preprocess -> U-Net forward -> heatmap NMS/peak decode) as one fused
 XLA program on a single TPU chip — BASELINE.json's
-"images/sec/chip at batch 64".
+"images/sec/chip at batch 64" — plus a train-step benchmark
+(fwd+bwd+Adam+targets, train.py:83-141 role).
+
+Measurement discipline (round-1 recorded a physically impossible
+38.8k img/s by re-dispatching the same program on the same buffer and
+blocking once at the end — over the async axon tunnel that measures
+dispatch, not execution):
+  * fresh input batch every iteration (ROTATE pre-staged device buffers,
+    each holding different data);
+  * a data dependency chained across iterations — a reduction of
+    iteration i's output is XOR-folded into iteration i+1's input bits,
+    so no two iterations can overlap or be CSE'd;
+  * block_until_ready every iteration; wall-clock spans each iteration;
+  * implied TFLOP/s computed from the compiled program's own XLA cost
+    analysis and REJECTED if it exceeds chip peak (a v5e does ~394
+    TFLOP/s bf16 with sparsity off the table; anything near or above
+    peak means the timing is broken, not that the code is fast);
+  * a contention check: other busy python processes invalidate the run.
 
 The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` is reported against an analytic estimate of the
-reference's GPU inference rate: the production U-Net forward is
-~104 GFLOPs/image at 512x512 (summed conv MACs x2); a V100-class GPU
-sustaining ~35% of 15.7 TFLOP/s fp32 on this conv mix gives
-~5.5 TFLOP/s -> ~53 images/sec. We round the reference baseline to
-REF_BASELINE_IPS = 55.0. The north-star target is >= 5x that.
+``vs_baseline`` is against an analytic estimate of its GPU inference
+rate: ~104 GFLOP/image forward at 512x512; a V100-class GPU sustaining
+~35% of 15.7 TFLOP/s fp32 on this conv mix -> ~53 img/s, rounded to
+REF_BASELINE_IPS = 55.0. North-star: >= 5x.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip",
+   "vs_baseline": N, ...diagnostics}
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 REF_BASELINE_IPS = 55.0
 BATCH = 64
 WARMUP = 3
 ITERS = 20
+N_BUFFERS = 4            # distinct pre-staged input batches, rotated
+TPU_PEAK_TFLOPS = 394.0  # v5e bf16 peak per chip (upper sanity bound)
+
+
+def _other_busy_python() -> int:
+    """Count other python processes using >20% CPU (chip/CPU contention
+    invalidates the measurement; round-1's number was taken while a
+    training job held the chip)."""
+    me = os.getpid()
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,pcpu,comm"], capture_output=True,
+            text=True, timeout=10).stdout
+    except Exception:
+        return 0
+    n = 0
+    for line in out.splitlines()[1:]:
+        parts = line.split()
+        if len(parts) >= 3 and "python" in parts[2]:
+            try:
+                if int(parts[0]) != me and float(parts[1]) > 20.0:
+                    n += 1
+            except ValueError:
+                pass
+    return n
+
+
+def _program_gflops(jitted, *args) -> float:
+    """FLOPs of the compiled program from XLA's own cost analysis."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) / 1e9
+    except Exception:
+        return 0.0
+
+
+def _timed_loop(step_fn, buffers, iters, block_fn):
+    """Per-iteration timed loop with a cross-iteration data dependency.
+
+    step_fn(buf, carry) -> (output, carry'); carry' is derived from the
+    output, forcing iteration i+1's program to consume iteration i's
+    result. block_fn(output) blocks on device completion.
+    """
+    import numpy as np
+    carry = np.uint8(0)
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out, carry = step_fn(buffers[i % len(buffers)], carry)
+        block_fn(out)
+        times.append(time.perf_counter() - t0)
+    return times
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from abcnet_tpu.data import pipeline
     from abcnet_tpu.infer.decode import extract_peaks
     from abcnet_tpu.models.unet import UNet, init_unet
+    from abcnet_tpu.train import trainer
+
+    contended = _other_busy_python()
+    if contended:
+        print(f"bench: WARNING {contended} other busy python process(es) "
+              "— numbers unreliable", file=sys.stderr)
 
     model = UNet(dtype=jnp.bfloat16)
     variables = init_unet(jax.random.PRNGKey(0), model)
 
     @jax.jit
-    def infer_pipeline(variables, image_bits):
+    def infer_pipeline(variables, image_bits, carry):
+        # carry (uint8 scalar from the previous iteration's output) is
+        # XOR-folded into the packed input bits: a genuine data
+        # dependency chaining iterations without changing the workload
+        # (the unpack path masks each bit individually).
+        image_bits = image_bits ^ carry
         images = pipeline.device_unpack_bits(image_bits,
                                              jax.random.PRNGKey(0),
                                              train=False)
         preds = model.apply(variables, images, train=False)
-        return extract_peaks(preds)
+        peaks = extract_peaks(preds)
+        # Real runtime-dependent carry (not constant-foldable): low bit
+        # of the summed atom scores. XORing it into the packed bytes
+        # flips at most the low bit-plane — workload identical.
+        new_carry = (peaks["atom_score"].astype(jnp.float32).sum()
+                     .astype(jnp.int32) % 2).astype(jnp.uint8)
+        return peaks, new_carry
 
-    host = pipeline.synthetic_batch(BATCH, seed=0)
-    image_bits = host["image_bits"]
+    # Distinct pre-staged input batches (fresh data each iteration).
+    buffers = [
+        jax.device_put(pipeline.synthetic_batch(BATCH, seed=s)["image_bits"])
+        for s in range(N_BUFFERS)
+    ]
 
-    for _ in range(WARMUP):
-        peaks = infer_pipeline(variables, image_bits)
-    jax.block_until_ready(peaks)
+    def infer_step(buf, carry):
+        peaks, new_carry = infer_pipeline(variables, buf, carry)
+        return peaks, new_carry
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        peaks = infer_pipeline(variables, image_bits)
-    jax.block_until_ready(peaks)
-    dt = time.perf_counter() - t0
+    def block(peaks):
+        jax.block_until_ready(peaks)
 
-    ips = BATCH * ITERS / dt
+    # Warmup (compile + cache).
+    c = jnp.uint8(0)
+    for b in buffers[:WARMUP]:
+        out, c = infer_step(b, c)
+    block(out)
+
+    times = _timed_loop(infer_step, buffers, ITERS, block)
+    # Median is robust to tunnel hiccups; report mean too.
+    med = sorted(times)[len(times) // 2]
+    ips = BATCH / med
+    gflops = _program_gflops(infer_pipeline, variables, buffers[0],
+                             jnp.uint8(0))
+    implied_tflops = ips / BATCH * gflops / 1e3 if gflops else 0.0
+    if implied_tflops > TPU_PEAK_TFLOPS:
+        raise SystemExit(
+            f"bench: implied {implied_tflops:.0f} TFLOP/s exceeds chip "
+            f"peak {TPU_PEAK_TFLOPS:.0f} — timing is broken, refusing "
+            "to report")
+
+    # ---- train-step benchmark (batch 64 fwd+bwd+Adam+targets) ----
+    cfg = trainer.TrainConfig(batch_size=BATCH)
+    state = trainer.create_state(cfg)
+    tbuffers = [pipeline.synthetic_batch(BATCH, seed=100 + s)
+                for s in range(2)]
+    tbuffers = [jax.device_put(b) for b in tbuffers]
+    key = jax.random.PRNGKey(0)
+
+    train_times = []
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, total, losses, mets = trainer.train_step(
+            state, tbuffers[i % 2], sub, amount=cfg.amount,
+            with_metrics=False)
+        jax.block_until_ready(total)
+        if i >= 2:  # first iterations include compile
+            train_times.append(time.perf_counter() - t0)
+    train_med = sorted(train_times)[len(train_times) // 2]
+    train_ips = BATCH / train_med
+
     print(json.dumps({
         "metric": "img2smiles_batch64_inference_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_BASELINE_IPS, 3),
+        "implied_tflops": round(implied_tflops, 1),
+        "program_gflops_per_batch": round(gflops, 1),
+        "iter_ms_median": round(med * 1e3, 2),
+        "iter_ms_mean": round(sum(times) / len(times) * 1e3, 2),
+        "train_step_ips": round(train_ips, 1),
+        "train_step_ms": round(train_med * 1e3, 1),
+        "contended_procs": contended,
     }))
 
 

@@ -185,3 +185,25 @@ def test_canonical_fuzz_random_molecules():
         s1 = to_smiles(mol, canonical=True)
         s2 = to_smiles(from_smiles(s1), canonical=True)
         assert s1 == s2, s1
+
+
+def test_non_isomeric_output():
+    """isomeric=False strips stereo — MolToSmiles(isomericSmiles=False)
+    parity, the reference's second accuracy metric (cal_acc.py:35-36)."""
+    from abcnet_tpu.chem import canonical_smiles
+
+    # E and Z isomers collapse to one non-isomeric form.
+    e = canonical_smiles(r"C/C=C/C", isomeric=False)
+    z = canonical_smiles(r"C/C=C\C", isomeric=False)
+    assert e == z
+    assert "/" not in e and "\\" not in e
+    # Enantiomers collapse; tags are gone from the output.
+    a = canonical_smiles("C[C@H](N)C(=O)O", isomeric=False)
+    b = canonical_smiles("C[C@@H](N)C(=O)O", isomeric=False)
+    assert a == b
+    assert "@" not in a
+    # Constitutionally different molecules stay different.
+    assert (canonical_smiles("CCO", isomeric=False)
+            != canonical_smiles("CCN", isomeric=False))
+    # Isomeric output unchanged by the new flag's default.
+    assert "@" in canonical_smiles("C[C@H](N)C(=O)O")
