@@ -15,7 +15,11 @@ dispatch, not execution):
   * a data dependency chained across iterations — a reduction of
     iteration i's output is XOR-folded into iteration i+1's input bits,
     so no two iterations can overlap or be CSE'd;
-  * block_until_ready every iteration; wall-clock spans each iteration;
+  * a real device->host VALUE FETCH every iteration (np.asarray of an
+    output) — under the axon tunnel even block_until_ready returns
+    before execution finishes, so readiness alone still times dispatch
+    (the sanity bound below caught exactly that); a value cannot cross
+    to the host before it exists;
   * implied TFLOP/s computed from the compiled program's own XLA cost
     analysis and REJECTED if it exceeds chip peak (a v5e does ~394
     TFLOP/s bf16 with sparsity off the table; anything near or above
@@ -147,7 +151,8 @@ def main() -> None:
         return peaks, new_carry
 
     def block(peaks):
-        jax.block_until_ready(peaks)
+        # Value fetch, not readiness: forces actual execution completion.
+        np.asarray(peaks["atom_score"])
 
     # Warmup (compile + cache).
     c = jnp.uint8(0)
@@ -183,7 +188,7 @@ def main() -> None:
         state, total, losses, mets = trainer.train_step(
             state, tbuffers[i % 2], sub, amount=cfg.amount,
             with_metrics=False)
-        jax.block_until_ready(total)
+        float(total)  # value fetch: see note above
         if i >= 2:  # first iterations include compile
             train_times.append(time.perf_counter() - t0)
     train_med = sorted(train_times)[len(train_times) // 2]
