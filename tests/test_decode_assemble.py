@@ -24,34 +24,9 @@ from abcnet_tpu.data.encode import (compact_labels, encode_targets_np,
 from abcnet_tpu.data.generate import generate_sample
 from abcnet_tpu.infer import assemble_batch, extract_peaks
 from abcnet_tpu.infer.decode import _antipodal_keep
+from abcnet_tpu.utils.diagnostics import fake_logits_from_targets
 
 G = vocab.GRID
-
-
-def fake_logits_from_targets(t):
-    """Dense channel-first target maps -> NHWC 'perfect' logits."""
-    def sig(x):          # sigmoid-head: center 5, halo 3, bg -5
-        return x * 10.0 - 5.0
-
-    atom_target = sig(t["atom_target"])[None].transpose(0, 2, 3, 1)
-    bond_target = sig(t["bond_target"])[None].transpose(0, 2, 3, 1)
-    atom_type = (t["atom_type"] * 10.0)[None].transpose(0, 2, 3, 1)
-    atom_charge = (t["atom_charge"] * 10.0)[None].transpose(0, 2, 3, 1)
-    atom_hs = (t["atom_hs"] * 10.0)[None].transpose(0, 2, 3, 1)
-    bond_omega = sig(t["bond_omega"])[None].transpose(0, 2, 3, 1)
-    bond_rho = t["bond_rho"][None].transpose(0, 2, 3, 1)
-    bt = (t["bond_type"] * 10.0).transpose(2, 3, 0, 1)   # (G,G,6,60)
-    bond_type = bt.reshape(G, G, -1)[None]
-    return {
-        "atom_target": jnp.asarray(atom_target),
-        "atom_type": jnp.asarray(atom_type),
-        "atom_charge": jnp.asarray(atom_charge),
-        "atom_hs": jnp.asarray(atom_hs),
-        "bond_target": jnp.asarray(bond_target),
-        "bond_type": jnp.asarray(bond_type),
-        "bond_rho": jnp.asarray(bond_rho),
-        "bond_omega": jnp.asarray(bond_omega),
-    }
 
 
 def test_antipodal_keep_plain_bond_tie():
