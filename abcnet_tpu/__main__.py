@@ -21,8 +21,19 @@ import sys
 
 def _cmd_gen(args) -> None:
     from .data.generate import generate_dataset
-    generate_dataset(args.out, args.n, seed=args.seed, mode=args.mode)
-    print(f"wrote {args.n} samples to {args.out}")
+    smiles_list = None
+    if args.smiles_csv:
+        # Given-corpus rendering (rdkit_img_generate.py:219-246 role).
+        import pandas as pd
+        df = pd.read_csv(args.smiles_csv)
+        cols = {c.lower(): c for c in df.columns}
+        col = cols.get("smiles")
+        if col is None:
+            sys.exit(f"error: no Smiles column in {args.smiles_csv}")
+        smiles_list = [str(s) for s in df[col]]
+    df = generate_dataset(args.out, args.n, seed=args.seed,
+                          mode=args.mode, smiles_list=smiles_list)
+    print(f"wrote {len(df)} samples to {args.out}")
 
 
 def _cmd_train(args) -> None:
@@ -67,7 +78,8 @@ def _cmd_img2smiles(args) -> None:
     from .train.trainer import (TrainConfig, create_state,
                                 restore_checkpoint)
 
-    csv_path = os.path.join(args.data, "dataset.csv")
+    csv_path = args.data if args.data.endswith(".csv") \
+        else os.path.join(args.data, "dataset.csv")
     if not os.path.exists(csv_path):
         sys.exit(f"error: dataset csv not found: {csv_path}")
 
@@ -76,7 +88,15 @@ def _cmd_img2smiles(args) -> None:
     if args.ckpt:
         state = restore_checkpoint(state, args.ckpt)
 
-    samples = pipeline.load_csv_dataset(csv_path)
+    # Labeled dataset CSVs carry atoms_string/bonds_string; a plain
+    # (image, smiles) CSV — the reference's UOB benchmark shape
+    # (src/utils_for_test.py:8-38) — is detected and loaded label-free.
+    import pandas as pd
+    head = pd.read_csv(csv_path, nrows=0)
+    if "atoms_string" in head.columns:
+        samples = pipeline.load_csv_dataset(csv_path)
+    else:
+        samples = pipeline.load_inference_csv(csv_path)
 
     mesh = None
     if args.mesh:
@@ -179,10 +199,15 @@ def main(argv=None) -> None:
 
     g = sub.add_parser("gen", help="generate a synthetic dataset")
     g.add_argument("--out", required=True)
-    g.add_argument("-n", type=int, default=1000)
+    g.add_argument("-n", type=int, default=1000,
+                   help="sample count (with --smiles-csv: cap, 0 = all)")
     g.add_argument("--mode", default="mixed",
                    choices=["mixed", "rdkit", "indigo"])
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--smiles-csv",
+                   help="render this SMILES corpus (CSV with a Smiles "
+                        "column) instead of random molecules — "
+                        "rdkit_img_generate.py:219-246 role")
     g.set_defaults(fn=_cmd_gen)
 
     t = sub.add_parser("train", help="train the U-Net")
@@ -205,7 +230,10 @@ def main(argv=None) -> None:
     t.set_defaults(fn=_cmd_train)
 
     i = sub.add_parser("img2smiles", help="decode a dataset to SMILES")
-    i.add_argument("--data", required=True)
+    i.add_argument("--data", required=True,
+                   help="dataset dir (dataset.csv inside) or a CSV path; "
+                        "label columns optional — a plain (image, smiles) "
+                        "CSV like the UOB benchmark works")
     i.add_argument("--ckpt")
     i.add_argument("--out", default="results.csv")
     i.add_argument("-b", "--batch-size", type=int, default=64)

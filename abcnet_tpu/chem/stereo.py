@@ -81,7 +81,17 @@ def parity_from_positions(center: Sequence[float],
     pts = [p for p in ordered if p is not None]
     if len(pts) < 3:
         return 0
-    u = [[p[k] - center[k] for k in range(3)] for p in pts[:3]]
+    # Origin: the 4th neighbor when all four are explicit, else the
+    # center (standing in for the implicit H / lone pair, which sits at
+    # the center's depth). Using the 4th point — not the center — for
+    # 4-neighbor sites makes the tag a true antisymmetric function of
+    # the neighbor tuple: the old center-based triple product of the
+    # first three ignored the 4th neighbor entirely and returned 0
+    # (degenerate) whenever the wedge-lifted neighbor sorted last in the
+    # reference order — silently dropping GT parities that the decoder
+    # (different atom indexing) then assigned, a GT/decode asymmetry.
+    origin = pts[3] if len(pts) >= 4 else center
+    u = [[p[k] - origin[k] for k in range(3)] for p in pts[:3]]
     # triple product u1 . (u2 x u3)
     t = (u[0][0] * (u[1][1] * u[2][2] - u[1][2] * u[2][1])
          - u[0][1] * (u[1][0] * u[2][2] - u[1][2] * u[2][0])

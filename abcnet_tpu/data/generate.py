@@ -28,8 +28,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..chem import perceive_aromaticity, to_smiles
-from ..chem.mol import Atom, Mol, STEREO_HASH, STEREO_WEDGE
+from ..chem import from_smiles, perceive_aromaticity, to_smiles
+from ..chem.mol import Atom, Mol, STEREO_HASH, STEREO_NONE, STEREO_WEDGE
 from ..chem.random_mol import random_molecule
 from .layout import layout
 from .render import RenderResult, RenderStyle, render
@@ -56,6 +56,59 @@ def _add_explicit_hs(mol: Mol, rng: random.Random) -> Mol:
             out.atoms[i].num_explicit_hs = None  # recomputed by sanitize
     out.assign_implicit_hydrogens()
     return out
+
+
+def _wedges_from_parities(mol: Mol, coords) -> int:
+    """Choose wedge/hash bonds that depict the molecule's tetrahedral
+    parities — the role RDKit's wedge assignment plays when the
+    reference renders an input corpus molecule (rdkit_img_generate.py
+    draws whatever stereo the SMILES carries). ``coords`` are layout
+    (x, y); orientation is decided in the pixel frame (row=y, col=x —
+    render.py:137-139) that GT perception will later use, so the
+    re-perceived parity equals the input parity by construction.
+    Returns the number of centers successfully depicted."""
+    from ..chem.stereo import (VIRTUAL, parity_from_positions,
+                               reference_order)
+    ring_bonds = mol.ring_bond_flags()
+    done = 0
+    for idx, a in enumerate(mol.atoms):
+        if not a.parity:
+            continue
+        cands = []
+        for bi in mol.bond_indices_of(idx):
+            b = mol.bonds[bi]
+            if b.order != 1 or b.aromatic or b.stereo:
+                continue
+            j = b.other(idx)
+            # Prefer: neighbor not itself a stereocenter, acyclic bond,
+            # terminal neighbor.
+            badness = (mol.atoms[j].parity != 0, ring_bonds[bi],
+                       mol.degree(j) > 1)
+            cands.append((badness, bi, j))
+        placed = False
+        for _, bi, j in sorted(cands, key=lambda t: t[0]):
+            order = reference_order(mol, idx)
+            for z in (1.0, -1.0):
+                positions = []
+                for nb in order:
+                    if nb == VIRTUAL:
+                        positions.append(None)
+                    else:
+                        x, y = coords[nb]
+                        positions.append((y, x, z if nb == j else 0.0))
+                cx, cy = coords[idx]
+                tag = parity_from_positions((cy, cx, 0.0), positions)
+                if tag == a.parity:
+                    b = mol.bonds[bi]
+                    if b.a != idx:
+                        b.a, b.b = b.b, b.a
+                    b.stereo = STEREO_WEDGE if z > 0 else STEREO_HASH
+                    placed = True
+                    break
+            if placed:
+                break
+        done += placed
+    return done
 
 
 def _decorate_stereo(mol: Mol, rng: random.Random) -> None:
@@ -87,16 +140,32 @@ def _decorate_stereo(mol: Mol, rng: random.Random) -> None:
 
 def generate_sample(rng: random.Random, size: int = 512,
                     mode: str = "mixed",
-                    max_layout_tries: int = 3) -> Optional[Sample]:
+                    max_layout_tries: int = 3,
+                    smiles: Optional[str] = None) -> Optional[Sample]:
     """Generate one (image, labels, smiles) sample, or None on rejection.
+
+    smiles=None draws a random molecule; a given SMILES renders that
+    molecule instead — the reference's given-corpus mode
+    (rdkit_img_generate.py:219-246 renders an input ChEMBL CSV). Input
+    tetrahedral stereo is depicted with wedges chosen to reproduce the
+    parity (_wedges_from_parities); input E/Z tags are replaced by what
+    the depicted geometry shows (the drawing IS the ground truth).
 
     Ground-truth SMILES are isomeric (the reference's GT comes from
     RDKit canonical SMILES, stereo included): after a successful render
-    the decorated wedge/hash bonds are perceived against the depicted
-    coordinates, non-stereogenic tags pruned, and the canonical SMILES
-    carries the resulting @/@@ — exactly what the decoder reproduces
-    from the image (infer/assemble.py perceive_stereo)."""
-    mol = random_molecule(rng)
+    the wedge/hash bonds and double-bond geometry are perceived against
+    the depicted coordinates, non-stereogenic tags pruned, and the
+    canonical SMILES carries the resulting stereo — exactly what the
+    decoder reproduces from the image (infer/assemble.py
+    perceive_stereo)."""
+    corpus = smiles is not None
+    if corpus:
+        try:
+            mol = from_smiles(smiles)
+        except Exception:
+            return None
+    else:
+        mol = random_molecule(rng)
     perceive_aromaticity(mol)
 
     if mode == "mixed":
@@ -109,15 +178,24 @@ def generate_sample(rng: random.Random, size: int = 512,
     if mode == "indigo":
         size = rng.randint(min(320, size), size)
 
-    _decorate_stereo(mol, rng)
+    has_parities = any(a.parity for a in mol.atoms)
+    if not corpus:
+        _decorate_stereo(mol, rng)
 
     render_mol = mol
-    if mode == "rdkit" and rng.random() < 0.2 and mol.num_atoms < 20:
+    if mode == "rdkit" and rng.random() < 0.2 and mol.num_atoms < 20 \
+            and not has_parities:
+        # (skipped for parity-carrying corpus molecules: adding explicit
+        # H neighbors would change the reference order under the tags)
         render_mol = _add_explicit_hs(mol, rng)
 
     result: Optional[RenderResult] = None
     for t in range(max_layout_tries):
         coords = layout(render_mol, random.Random(rng.getrandbits(32)))
+        if corpus and has_parities:
+            for b in render_mol.bonds:   # re-chosen per layout try
+                b.stereo = STEREO_NONE
+            _wedges_from_parities(render_mol, coords)
         style = RenderStyle.random(rng, size)
         result = render(render_mol, coords, style, rng,
                         aromatic_render=aromatic_records)
@@ -148,18 +226,25 @@ def generate_sample(rng: random.Random, size: int = 512,
     atoms_string = _atoms_string(render_mol, result, aromatic_records)
     bonds_string = _bonds_string(render_mol, result, aromatic_records)
 
-    # Isomeric ground truth: perceive the decorated wedges against the
-    # depicted coordinates (same convention the decoder sees).
-    from ..chem.stereo import assign_parities_from_wedges, \
-        prune_nonstereogenic
+    # Isomeric ground truth: perceive the depicted wedges AND the drawn
+    # double-bond geometry against the final pixel coordinates (same
+    # convention the decoder sees; RDKit's MolFromMolBlock does both for
+    # the reference). Pre-existing tags are cleared first — the drawing
+    # is the ground truth.
+    from ..chem.ez import assign_ez_from_coords, clear_ez
+    from ..chem.stereo import (assign_parities_from_wedges,
+                               clear_parities, prune_nonstereogenic)
     for i, (r, c) in enumerate(result.atom_rc):
         render_mol.atoms[i].x = r
         render_mol.atoms[i].y = c
+    clear_parities(render_mol)
+    clear_ez(render_mol)
     assign_parities_from_wedges(render_mol)
+    assign_ez_from_coords(render_mol)
     prune_nonstereogenic(render_mol)
     gt_mol = render_mol.remove_explicit_h_atoms()
-    smiles = to_smiles(gt_mol, canonical=True)
-    return Sample(result.image, atoms_string, bonds_string, smiles)
+    out_smiles = to_smiles(gt_mol, canonical=True)
+    return Sample(result.image, atoms_string, bonds_string, out_smiles)
 
 
 def _stereo_ambiguous(mol: Mol, result: RenderResult,
@@ -220,8 +305,15 @@ def _bonds_string(mol: Mol, result: RenderResult,
 
 def generate_dataset(out_dir: str, n: int, seed: int = 0,
                      mode: str = "mixed", size: int = 512,
-                     verbose: bool = True) -> "object":
-    """Generate a dataset tree + CSV; returns the DataFrame."""
+                     verbose: bool = True,
+                     smiles_list: Optional[List[str]] = None) -> "object":
+    """Generate a dataset tree + CSV; returns the DataFrame.
+
+    smiles_list renders a GIVEN corpus instead of random molecules —
+    the reference's main-loop role over its filtered ChEMBL CSV
+    (rdkit_img_generate.py:219-246, indigo_img_generator.py:296-328);
+    unrenderable entries are skipped like the reference's rejects. With
+    a corpus, ``n`` caps the output (0 = all)."""
     import pandas as pd
 
     from . import raster
@@ -230,9 +322,17 @@ def generate_dataset(out_dir: str, n: int, seed: int = 0,
     rows: List[dict] = []
     made = 0
     attempt = 0
-    while made < n:
+    if smiles_list is not None:
+        limit = n if n else len(smiles_list)
+    while made < (limit if smiles_list is not None else n):
+        if smiles_list is not None:
+            if attempt >= len(smiles_list):
+                break
+            smi = smiles_list[attempt]
+        else:
+            smi = None
         attempt += 1
-        sample = generate_sample(rng, size=size, mode=mode)
+        sample = generate_sample(rng, size=size, mode=mode, smiles=smi)
         if sample is None:
             continue
         m = made % 100

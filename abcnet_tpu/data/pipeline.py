@@ -207,6 +207,34 @@ def load_csv_dataset(csv_path: str, image_root: Optional[str] = None
     return out
 
 
+def load_inference_csv(csv_path: str, image_root: Optional[str] = None,
+                       size: int = SIZE) -> List[Sample]:
+    """(image, smiles)-only ingestion for real-world benchmark decoding
+    — the reference's UOB path (src/utils_for_test.py:8-38,
+    img2smiles2.py:36-40), which needs no label columns. Images are
+    resized to size x size like the reference's test dataset. Column
+    names are auto-detected (SMILES among Smiles/smiles/SMILES;
+    image path among path/file/filename/image/image_path)."""
+    import pandas as pd
+    df = pd.read_csv(csv_path)
+    cols = {c.lower(): c for c in df.columns}
+    smi_col = next((cols[k] for k in ("smiles",) if k in cols), None)
+    img_col = next((cols[k] for k in
+                    ("path", "file", "filename", "image", "image_path")
+                    if k in cols), None)
+    if smi_col is None or img_col is None:
+        raise ValueError(
+            f"need a SMILES and an image-path column; got {list(df.columns)}")
+    root = image_root or os.path.dirname(csv_path)
+    out = []
+    for _, row in df.iterrows():
+        img = raster.imread_gray(os.path.join(root, str(row[img_col])))
+        if img.shape != (size, size):
+            img = raster.resize(img, (size, size))
+        out.append(Sample(img, "", "", str(row[smi_col])))
+    return out
+
+
 def batches_from_examples(examples: Sequence[Example], batch_size: int,
                           seed: int = 0, shuffle: bool = True,
                           drop_remainder: bool = True

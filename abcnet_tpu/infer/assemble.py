@@ -79,9 +79,16 @@ def _graph_to_smiles(types: List[str], charges: List[int],
         # otherwise emit [H]-laden SMILES that never exact-match.
         mol = mol.remove_explicit_h_atoms()
         if perceive_stereo:
+            # Same perception pair the generator applies to its pixel
+            # coordinates (data/generate.py GT block) — wedges for
+            # tetrahedral parity, drawn geometry for cis/trans. The
+            # cis/trans sign test compares two cross products, so it is
+            # invariant under the MolBlock coordinate transform.
+            from ..chem.ez import assign_ez_from_coords
             from ..chem.stereo import (assign_parities_from_wedges,
                                        prune_nonstereogenic)
             assign_parities_from_wedges(mol)
+            assign_ez_from_coords(mol)
             prune_nonstereogenic(mol)
         return to_smiles(mol, canonical=True)
     except Exception:
