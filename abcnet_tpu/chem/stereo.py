@@ -153,36 +153,110 @@ def clear_parities(mol: Mol) -> None:
         a.parity = 0
 
 
+def _atom_descriptor(mol: Mol, idx: int, ranks) -> int:
+    """Index-invariant descriptor of a tagged center under a rank
+    partition: the parity re-expressed in the neighbor order sorted by
+    rank. Defined (nonzero) only when the neighbor ranks are distinct."""
+    p = mol.atoms[idx].parity
+    if not p:
+        return 0
+    nbrs = mol.neighbors(idx)
+    rs = [ranks[n] for n in nbrs]
+    if len(set(rs)) != len(rs):
+        return 0
+    target = sorted(nbrs, key=lambda n: ranks[n])
+    if len(target) < 4:
+        target.append(VIRTUAL)
+    return map_parity(p, reference_order(mol, idx), target)
+
+
+def _ez_descriptor(mol: Mol, bi: int, ranks) -> int:
+    """Canonical cis/trans descriptor of a tagged double bond under a
+    rank partition: the relation between the highest-ranked substituent
+    on each end. 0 when either end's substituents tie."""
+    from .ez import ez_for_pair
+    b = mol.bonds[bi]
+    if not b.ez:
+        return 0
+    picks = []
+    for end, other in ((b.a, b.b), (b.b, b.a)):
+        subs = [n for n in mol.neighbors(end) if n != other]
+        rs = [ranks[n] for n in subs]
+        if len(set(rs)) != len(rs):
+            return 0
+        picks.append(max(subs, key=lambda n: ranks[n]))
+    return ez_for_pair(mol, bi, picks[0], picks[1])
+
+
+def _stereo_refined_ranks(mol: Mol):
+    """Canonical ranks iteratively refined with stereo descriptors
+    (the CIP/Razinger loop): descriptors defined under the current
+    partition split constitutionally-equivalent-but-stereo-different
+    branches, which can define further descriptors, to a fixpoint."""
+    from .smiles import _refine, canonical_ranks
+    n = mol.num_atoms
+    ranks = canonical_ranks(mol)
+    while True:
+        a_desc = [_atom_descriptor(mol, i, ranks) for i in range(n)]
+        e_desc = [[] for _ in range(n)]
+        for bi, b in enumerate(mol.bonds):
+            d = _ez_descriptor(mol, bi, ranks)
+            if d:
+                e_desc[b.a].append(d)
+                e_desc[b.b].append(d)
+        inv = [(ranks[i], a_desc[i], tuple(sorted(e_desc[i])))
+               for i in range(n)]
+        order = sorted(range(n), key=lambda i: inv[i])
+        new_ranks = [0] * n
+        r = 0
+        for j, i in enumerate(order):
+            if j > 0 and inv[i] != inv[order[j - 1]]:
+                r = j
+            new_ranks[i] = r
+        new_ranks = _refine(mol, new_ranks)
+        if new_ranks == ranks:
+            return ranks
+        ranks = new_ranks
+
+
 def prune_nonstereogenic(mol: Mol) -> int:
     """Clear stereo tags on non-stereogenic sites (RDKit's
     AssignStereochemistry cleanup role): a tetrahedral center with two
-    constitutionally equivalent substituents, or a double bond whose
-    end carries two equivalent substituents, is not a stereocenter.
+    equivalent substituents, or a double bond whose end carries two
+    equivalent substituents, is not a stereocenter.
 
-    Equivalence is judged by the canonical-rank partition (computed
-    without stereo), which covers constitutional symmetry; para-style
-    stereo-dependent subtleties are out of scope. Returns the number of
-    tags cleared.
-    """
-    from .smiles import canonical_ranks
-    ranks = canonical_ranks(mol)
+    Equivalence is judged by canonical ranks refined with stereo
+    descriptors (_stereo_refined_ranks), so stereo-DEPENDENT (para /
+    pseudoasymmetric) centers survive: in (2R,4S)-2,3,4-
+    trihydroxyglutaric acid the C3 branches are constitutionally
+    identical but R vs S, and C3's tag is kept (CIP r/s), while the
+    (2R,4R) form's C3 tag is cleared. Clearing can cascade — a cleared
+    tag removes a descriptor another center depended on — so the whole
+    procedure repeats to a fixpoint. Returns the number of tags
+    cleared."""
     cleared = 0
-    for idx, a in enumerate(mol.atoms):
-        if not a.parity:
-            continue
-        nbr_ranks = [ranks[n] for n in mol.neighbors(idx)]
-        if len(set(nbr_ranks)) != len(nbr_ranks):
-            a.parity = 0
-            cleared += 1
-    for b in mol.bonds:
-        if not b.ez:
-            continue
-        ok = True
-        for end, excl in ((b.a, b.b), (b.b, b.a)):
-            subs = [ranks[n] for n in mol.neighbors(end) if n != excl]
-            if len(set(subs)) != len(subs):
-                ok = False
-        if not ok:
-            b.ez = 0
-            cleared += 1
-    return cleared
+    while True:
+        ranks = _stereo_refined_ranks(mol)
+        changed = False
+        for idx, a in enumerate(mol.atoms):
+            if not a.parity:
+                continue
+            nbr_ranks = [ranks[n] for n in mol.neighbors(idx)]
+            if len(set(nbr_ranks)) != len(nbr_ranks):
+                a.parity = 0
+                cleared += 1
+                changed = True
+        for b in mol.bonds:
+            if not b.ez:
+                continue
+            ok = True
+            for end, excl in ((b.a, b.b), (b.b, b.a)):
+                subs = [ranks[n] for n in mol.neighbors(end) if n != excl]
+                if len(set(subs)) != len(subs):
+                    ok = False
+            if not ok:
+                b.ez = 0
+                cleared += 1
+                changed = True
+        if not changed:
+            return cleared

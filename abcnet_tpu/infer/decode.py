@@ -162,7 +162,29 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
     pooled = jax.lax.reduce_window(
         padded, -jnp.inf, jax.lax.max, (1, 1, 3), (1, 1, 1), "VALID")
     local_max = (pooled == w) & (w > logit_thr)
-    keep = local_max & _antipodal_keep(w)
+
+    # Cross-cell halo suppression (beyond the reference's two-stage
+    # NMS): the encoder smears each bond record over a 3x3x3
+    # (bin, x, y) halo at a lower level (center 1.0, halo 0.8 —
+    # utils.py:176-228), so in crowded regions a neighboring bond's
+    # halo surfaces as extra omega survivors at this peak and decodes
+    # as a phantom bond (the round-2 ceiling diagnostic's 'struct'
+    # bucket). A bin survives only if no (cell +-1, bin +-1) neighbor
+    # beats it by more than the target center/halo logit gap.
+    G_ = b_logit.shape[1]
+    di = jnp.arange(-1, 2)
+    nx = jnp.clip(bx[..., None, None] + di[:, None], 0, G_ - 1)
+    ny = jnp.clip(by[..., None, None] + di[None, :], 0, G_ - 1)
+    w9 = preds["bond_omega"][b_idx[..., None, None], nx, ny]
+    w9 = w9.reshape(w.shape[0], w.shape[1], 9, NO)      # (B, Kb, 9, 60)
+    w9p = jnp.concatenate([w9[..., -1:], w9, w9[..., :1]], axis=-1)
+    neigh = jax.lax.reduce_window(
+        w9p, -jnp.inf, jax.lax.max, (1, 1, 1, 3), (1, 1, 1, 1), "VALID")
+    neigh_max = neigh.max(axis=2)                       # (B, Kb, 60)
+    HALO_MARGIN = 1.0   # target gap is 2.0 logits; tolerate peak jitter
+    not_halo = w >= neigh_max - HALO_MARGIN
+
+    keep = local_max & not_halo & _antipodal_keep(w)
 
     w_masked = jnp.where(keep, w, -jnp.inf)
     o_raw, o_bin = jax.lax.top_k(w_masked, cfg.omega_per_bond)

@@ -50,13 +50,45 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh):
 
     The batch size must divide by the mesh size (the reference divides
     the global batch per process the same way, multi_gpu_train.py:51).
+
+    Single-process: a plain sharded device_put. Multi-process (after
+    jax.distributed.initialize): each process passes its PROCESS-LOCAL
+    slice of the global batch — the DistributedSampler role
+    (multi_gpu_train.py:62-73) — and the pieces are assembled into one
+    global array spanning all hosts' devices.
     """
     sharding = data_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+
+    n_proc = jax.process_count()
+
+    def put(x):
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_tree(tree, mesh: Mesh):
+    """Replicate a pytree onto every mesh device.
+
+    Multi-process: every process holds identical host values (same
+    PRNG seed -> same init; restore loads the same checkpoint), the
+    fully-replicated global array is assembled from the local copies —
+    the reference ships rank-0's initial state to all ranks instead
+    (multi_gpu_train2.py:91-96).
+    """
     sharding = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, x.shape)
+
+    return jax.tree_util.tree_map(put, tree)

@@ -13,6 +13,30 @@ import jax.numpy as jnp
 from ..data import vocab
 
 
+def perfect_logits_production(sample):
+    """Perfect logits via the PRODUCTION XLA target builder
+    (ops/targets.py max-combine scatter) — what the trained model is
+    actually taught. encode_targets_np instead preserves the
+    reference's sequential-overwrite artifact (utils.py:143-166 writes
+    bonds in order, so a later bond's 0.8 halo erases an earlier
+    bond's 1.0 center in crowded regions); ceiling numbers should be
+    measured against the production semantics."""
+    import numpy as np
+
+    from ..data.encode import (compact_labels, parse_atoms_string,
+                               parse_bonds_string)
+    from ..ops.targets import build_targets
+
+    labels = compact_labels(parse_atoms_string(sample.atoms_string),
+                            parse_bonds_string(sample.bonds_string),
+                            1.0, 1.0, 0, 0)
+    batch = {k: np.asarray(v)[None] for k, v in labels.items()}
+    t = build_targets(batch, with_full_type=True)
+    t = {k: np.asarray(v)[0] for k, v in t.items()}
+    t.pop("bond_type_mass", None)
+    return fake_logits_from_targets(t)
+
+
 def fake_logits_from_targets(t):
     """Dense channel-first target maps -> NHWC 'perfect' logits."""
     g = t["atom_target"].shape[-1]

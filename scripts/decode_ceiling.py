@@ -13,7 +13,13 @@ and buckets each miss (VERDICT r1 #4: the ceiling was 140/150 rdkit /
   decode0  — assembly returned None
   parse    — canonicalization of one side raised
 
-Usage: python scripts/decode_ceiling.py [n_per_mode] [seed0]
+Targets come from the PRODUCTION XLA builder (ops/targets.py,
+max-combine) — what the model is trained on; pass "oracle" as third
+arg to use the reference-faithful sequential-overwrite numpy oracle
+instead (its artifact: a later bond's halo erases an earlier center
+in crowded regions, utils.py:143-166).
+
+Usage: python scripts/decode_ceiling.py [n_per_mode] [seed0] [oracle]
 Prints per-mode tables and each failure with its bucket.
 """
 
@@ -30,7 +36,8 @@ from abcnet_tpu.data.encode import (encode_targets_np, parse_atoms_string,
                                     parse_bonds_string)
 from abcnet_tpu.data.generate import generate_sample
 from abcnet_tpu.infer import assemble_batch, extract_peaks
-from abcnet_tpu.utils.diagnostics import fake_logits_from_targets
+from abcnet_tpu.utils.diagnostics import (fake_logits_from_targets,
+                                          perfect_logits_production)
 
 
 def classify(truth, pred):
@@ -58,6 +65,7 @@ def classify(truth, pred):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    oracle = len(sys.argv) > 3 and sys.argv[3] == "oracle"
     for mode in ("rdkit", "indigo"):
         buckets = {}
         fails = []
@@ -70,10 +78,13 @@ def main():
             if sample is None:
                 continue
             made += 1
-            atoms = parse_atoms_string(sample.atoms_string)
-            bonds = parse_bonds_string(sample.bonds_string)
-            targets = encode_targets_np(atoms, bonds)
-            preds = fake_logits_from_targets(targets)
+            if oracle:
+                atoms = parse_atoms_string(sample.atoms_string)
+                bonds = parse_bonds_string(sample.bonds_string)
+                preds = fake_logits_from_targets(
+                    encode_targets_np(atoms, bonds))
+            else:
+                preds = perfect_logits_production(sample)
             peaks = extract_peaks(preds)
             pred = assemble_batch(peaks)[0]
             b = classify(sample.smiles, pred)
