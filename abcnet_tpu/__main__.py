@@ -54,16 +54,22 @@ def _cmd_train(args) -> None:
     if args.data:
         samples = pipeline.load_csv_dataset(
             os.path.join(args.data, "dataset.csv"))
-        rng = random.Random(args.seed)
-        examples = [pipeline.sample_to_example(s, rng, train=True)
-                    for s in samples]
     else:
-        examples = pipeline.generate_examples(args.synthetic,
-                                              seed=args.seed)
-    n_test = max(len(examples) // 90, 1) if args.test_split else 0
-    test = examples[:n_test] if n_test else None
-    train = examples[n_test:]
-    print(f"training on {len(train)} examples, eval on {n_test}")
+        from .data.generate import generate_sample
+        rng = random.Random(args.seed)
+        samples = []
+        while len(samples) < args.synthetic:
+            s = generate_sample(rng)
+            if s is not None:
+                samples.append(s)
+    n_test = max(len(samples) // 90, 1) if args.test_split else 0
+    rng = random.Random(args.seed)
+    # Eval split: fixed un-augmented examples; train split stays raw
+    # Samples so fit() re-augments every epoch (utils.py:47-61 role).
+    test = [pipeline.sample_to_example(s, rng, train=False)
+            for s in samples[:n_test]] if n_test else None
+    train = samples[n_test:]
+    print(f"training on {len(train)} samples, eval on {n_test}")
     fit(cfg, train, test, state=state)
 
 

@@ -247,11 +247,31 @@ def generate_sample(rng: random.Random, size: int = 512,
     return Sample(result.image, atoms_string, bonds_string, out_smiles)
 
 
+def _min_altitude(pts) -> float:
+    """Smallest altitude of a triangle given 3 (r, c) points."""
+    (ax, ay), (bx, by), (cx, cy) = pts
+    area2 = abs((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+    sides = [math.hypot(bx - ax, by - ay), math.hypot(cx - bx, cy - by),
+             math.hypot(ax - cx, ay - cy)]
+    longest = max(sides)
+    return area2 / longest if longest > 0 else 0.0
+
+
 def _stereo_ambiguous(mol: Mol, result: RenderResult,
-                      margin: float = 0.08) -> bool:
-    """True when any wedge/hash bond is within ~4.5 degrees of vertical
-    in row coordinates — where the encoded direction bit and the omega
-    bin disagree at quantization margins."""
+                      margin: float = 0.08,
+                      min_alt_px: float = 5.0) -> bool:
+    """True when the depicted stereo is quantization-fragile:
+
+    * a wedge/hash bond within ~4.5 degrees of vertical in row
+      coordinates — where the encoded direction bit and the omega bin
+      disagree at quantization margins; or
+    * the perceived parity's sign is a triangle area that stride-4
+      grid rounding (+-2 px per coordinate) could flip. The 4-point
+      determinant's z-term is +-z times the 2-D area of the three
+      NON-wedge neighbors (4-neighbor centers) or of (center, n1, n2)
+      (3-neighbor centers); require that triangle's minimum altitude
+      to exceed min_alt_px.
+    """
     for b in mol.bonds:
         if not b.stereo:
             continue
@@ -259,6 +279,17 @@ def _stereo_ambiguous(mol: Mol, result: RenderResult,
         r2, c2 = result.atom_rc[b.b]
         length = math.hypot(r2 - r1, c2 - c1)
         if length > 0 and abs(r2 - r1) < margin * length:
+            return True
+        begin, far = b.a, b.b
+        others = [result.atom_rc[nb] for nb in mol.neighbors(begin)
+                  if nb != far]
+        if len(others) >= 3:
+            tri = others[:3]
+        elif len(others) == 2:
+            tri = [result.atom_rc[begin]] + others
+        else:
+            continue
+        if _min_altitude(tri) < min_alt_px:
             return True
     return False
 

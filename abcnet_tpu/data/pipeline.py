@@ -235,6 +235,24 @@ def load_inference_csv(csv_path: str, image_root: Optional[str] = None,
     return out
 
 
+def batches_from_samples(samples: Sequence[Sample], batch_size: int,
+                         seed: int = 0, epoch: int = 0,
+                         train: bool = True,
+                         drop_remainder: bool = True
+                         ) -> Iterator[Dict[str, np.ndarray]]:
+    """Per-epoch batches with FRESH augmentation — the reference's
+    dataloader re-runs __getitem__ (and so the random rescale/pad)
+    every epoch (utils.py:47-61); pre-converting samples to examples
+    would freeze one augmentation forever."""
+    rng = random.Random(seed * 1_000_003 + epoch)
+    order = np.random.default_rng(seed + epoch).permutation(len(samples))
+    stop = len(order) - batch_size + 1 if drop_remainder else len(order)
+    for i in range(0, max(stop, 0), batch_size):
+        ex = [sample_to_example(samples[j], rng, train=train)
+              for j in order[i:i + batch_size]]
+        yield collate(ex)
+
+
 def batches_from_examples(examples: Sequence[Example], batch_size: int,
                           seed: int = 0, shuffle: bool = True,
                           drop_remainder: bool = True

@@ -255,7 +255,14 @@ def restore_checkpoint(state: TrainState, ckpt_dir: str,
 def fit(cfg: TrainConfig, train_examples, test_examples=None,
         state: Optional[TrainState] = None, verbose: bool = True,
         mesh=None) -> TrainState:
-    """Train over in-memory examples (see data/pipeline.py for sources)."""
+    """Train over in-memory data (see data/pipeline.py for sources).
+
+    train_examples may be raw Samples — then every epoch re-augments
+    them (the reference's dataloader re-runs __getitem__ per epoch,
+    utils.py:47-61) — or pre-built Examples (fixed augmentation)."""
+    from ..data.generate import Sample
+    samples_mode = bool(train_examples) and isinstance(
+        train_examples[0], Sample)
     mesh = mesh or make_mesh(cfg.n_devices)
     if state is None:
         state = create_state(cfg)
@@ -280,8 +287,13 @@ def fit(cfg: TrainConfig, train_examples, test_examples=None,
             # train at full LR again (the saved opt_state also carries
             # the LR, but legacy checkpoints don't).
             state = set_learning_rate(state, cfg.lr * cfg.lr_drop_factor)
-        it = pipeline.batches_from_examples(
-            train_examples, cfg.batch_size, seed=cfg.seed + epoch)
+        if samples_mode:
+            it = pipeline.batches_from_samples(
+                train_examples, cfg.batch_size, seed=cfg.seed,
+                epoch=epoch, train=True)
+        else:
+            it = pipeline.batches_from_examples(
+                train_examples, cfg.batch_size, seed=cfg.seed + epoch)
         for i, host_batch in enumerate(pipeline.PrefetchIterator(it)):
             batch = shard_batch(host_batch, mesh)
             key, sub = jax.random.split(key)

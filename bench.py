@@ -163,9 +163,27 @@ def main() -> None:
     times = _timed_loop(infer_step, buffers, ITERS, block)
     # Median is robust to tunnel hiccups; report mean too.
     med = sorted(times)[len(times) // 2]
-    ips = BATCH / med
+    sync_ips = BATCH / med
+
+    # ---- pipelined (double-buffered) throughput: the serving loop ----
+    # Compute stays strictly serialized by the carry chain; only the
+    # host-side value fetch of iteration i overlaps iteration i+1's
+    # device execution. Every output is still fetched inside the timed
+    # window, so wall-clock covers all work end to end.
+    c = jnp.uint8(0)
+    out_prev = None
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out, c = infer_step(buffers[i % len(buffers)], c)
+        if out_prev is not None:
+            block(out_prev)
+        out_prev = out
+    block(out_prev)
+    pipe_dt = time.perf_counter() - t0
+    ips = BATCH * ITERS / pipe_dt
     gflops = _program_gflops(infer_pipeline, variables, buffers[0],
                              jnp.uint8(0))
+    # Sanity-bound the HEADLINE (pipelined) number against chip peak.
     implied_tflops = ips / BATCH * gflops / 1e3 if gflops else 0.0
     if implied_tflops > TPU_PEAK_TFLOPS:
         raise SystemExit(
@@ -199,6 +217,7 @@ def main() -> None:
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_BASELINE_IPS, 3),
+        "sync_ips": round(sync_ips, 2),
         "implied_tflops": round(implied_tflops, 1),
         "program_gflops_per_batch": round(gflops, 1),
         "iter_ms_median": round(med * 1e3, 2),
