@@ -82,7 +82,14 @@ def assign_ez_from_coords(mol: Mol) -> int:
         dx, dy = mol.atoms[bond.b].x - ax, mol.atoms[bond.b].y - ay
         sx = dx * (mol.atoms[x].y - ay) - dy * (mol.atoms[x].x - ax)
         sy = dx * (mol.atoms[y].y - b.y) - dy * (mol.atoms[y].x - b.x)
-        if abs(sx) < 1e-9 or abs(sy) < 1e-9:
+        # Scale-aware threshold (see stereo.parity_from_positions):
+        # degenerate-in-grid configurations must not become assigned
+        # from MolBlock %.4f rounding noise after the /60 transform.
+        m = max(abs(dx), abs(dy),
+                abs(mol.atoms[x].x - ax), abs(mol.atoms[x].y - ay),
+                abs(mol.atoms[y].x - b.x), abs(mol.atoms[y].y - b.y))
+        thr = max(1e-2 * m * m, 1e-12)
+        if abs(sx) < thr or abs(sy) < thr:
             continue
         rel = EZ_CIS if (sx > 0) == (sy > 0) else EZ_TRANS
         set_ez_from_pair(mol, bi, x, y, rel)

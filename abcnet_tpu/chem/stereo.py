@@ -96,7 +96,15 @@ def parity_from_positions(center: Sequence[float],
     t = (u[0][0] * (u[1][1] * u[2][2] - u[1][2] * u[2][1])
          - u[0][1] * (u[1][0] * u[2][2] - u[1][2] * u[2][0])
          + u[0][2] * (u[1][0] * u[2][1] - u[1][1] * u[2][0]))
-    if abs(t) < 1e-9:
+    # Scale-aware degeneracy threshold: z offsets are O(1) flags while
+    # the in-plane coordinates carry the unit (pixels, grid cells, or
+    # MolBlock units after the /60 transform with %.4f rounding), so a
+    # configuration that is exactly degenerate in one unit must stay
+    # degenerate after a linear rescale + format rounding. 1e-2 of the
+    # squared max in-plane magnitude clears the rounding noise while
+    # staying far below any genuine half-cell area.
+    m = max(abs(v) for row in u for v in row[:2])
+    if abs(t) < max(1e-2 * m * m, 1e-12):
         return 0
     return 1 if t > 0 else 2
 

@@ -234,15 +234,28 @@ def generate_sample(rng: random.Random, size: int = 512,
     from ..chem.ez import assign_ez_from_coords, clear_ez
     from ..chem.stereo import (assign_parities_from_wedges,
                                clear_parities, prune_nonstereogenic)
+    # Perceive at the DECODER's resolution: stride-4 grid cells, the
+    # same int(px)//4 mapping the encoder uses (encode.py:89-90). GT
+    # and decode then evaluate the same orientation functions on
+    # identical coordinates, so quantization can never flip a parity
+    # or cis/trans tag between the two sides (the residual 'stereo~'
+    # ceiling bucket).
+    from . import vocab as _vocab
     for i, (r, c) in enumerate(result.atom_rc):
-        render_mol.atoms[i].x = r
-        render_mol.atoms[i].y = c
-    clear_parities(render_mol)
-    clear_ez(render_mol)
-    assign_parities_from_wedges(render_mol)
-    assign_ez_from_coords(render_mol)
-    prune_nonstereogenic(render_mol)
+        render_mol.atoms[i].x = float(int(r) // _vocab.STRIDE)
+        render_mol.atoms[i].y = float(int(c) // _vocab.STRIDE)
+    # H-removal BEFORE perception, matching the decode order
+    # (assemble._graph_to_smiles perceives on the H-removed graph): an
+    # AddHs-rendered stereocenter must be judged with the implicit-H
+    # convention (virtual neighbor at the center) on BOTH sides — the
+    # explicit H's drawn position is a 4th point that can judge a
+    # near-flat configuration differently.
     gt_mol = render_mol.remove_explicit_h_atoms()
+    clear_parities(gt_mol)
+    clear_ez(gt_mol)
+    assign_parities_from_wedges(gt_mol)
+    assign_ez_from_coords(gt_mol)
+    prune_nonstereogenic(gt_mol)
     out_smiles = to_smiles(gt_mol, canonical=True)
     return Sample(result.image, atoms_string, bonds_string, out_smiles)
 
