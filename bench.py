@@ -191,6 +191,17 @@ def main() -> None:
             f"peak {TPU_PEAK_TFLOPS:.0f} — timing is broken, refusing "
             "to report")
 
+    # ---- host graph assembly to SMILES (the reference's workload ends
+    # at SMILES strings, img2smiles2.py:104-317; ours must too) ----
+    from abcnet_tpu.infer import assemble_batch
+    host_peaks = {k: np.asarray(v) for k, v in out_prev.items()}
+    t0 = time.perf_counter()
+    smiles = assemble_batch(host_peaks)
+    assemble_dt = time.perf_counter() - t0
+    # Two-stage pipeline steady state: device computes batch i+1 while
+    # the host assembles batch i — throughput set by the slower stage.
+    e2e_ips = BATCH / max(pipe_dt / ITERS, assemble_dt)
+
     # ---- train-step benchmark (batch 64 fwd+bwd+Adam+targets) ----
     cfg = trainer.TrainConfig(batch_size=BATCH)
     state = trainer.create_state(cfg)
@@ -218,6 +229,9 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_BASELINE_IPS, 3),
         "sync_ips": round(sync_ips, 2),
+        "e2e_smiles_ips": round(e2e_ips, 2),
+        "host_assemble_ms_per_batch": round(assemble_dt * 1e3, 1),
+        "decoded_per_batch": sum(s is not None for s in smiles),
         "implied_tflops": round(implied_tflops, 1),
         "program_gflops_per_batch": round(gflops, 1),
         "iter_ms_median": round(med * 1e3, 2),
