@@ -51,6 +51,11 @@ class DecodeConfig:
     omega_per_bond: int = OMEGA_PER_BOND
     # NMS threshold on logits (img2smiles2.py:64 uses > -1).
     logit_threshold: float = -1.0
+    # Cross-cell omega halo suppression margin (logits): a bin dies if
+    # a (cell+-1, bin+-1) neighbor beats it by more than this. The
+    # encoder's center/halo gap is 2.0 logits; 1.0 tolerates trained-
+    # model peak jitter. <=0 disables the filter.
+    halo_margin: float = 1.0
 
 
 def _topk_logit_peaks(logit: jnp.ndarray, k: int, threshold: float):
@@ -171,18 +176,21 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
     # as a phantom bond (the round-2 ceiling diagnostic's 'struct'
     # bucket). A bin survives only if no (cell +-1, bin +-1) neighbor
     # beats it by more than the target center/halo logit gap.
-    G_ = b_logit.shape[1]
-    di = jnp.arange(-1, 2)
-    nx = jnp.clip(bx[..., None, None] + di[:, None], 0, G_ - 1)
-    ny = jnp.clip(by[..., None, None] + di[None, :], 0, G_ - 1)
-    w9 = preds["bond_omega"][b_idx[..., None, None], nx, ny]
-    w9 = w9.reshape(w.shape[0], w.shape[1], 9, NO)      # (B, Kb, 9, 60)
-    w9p = jnp.concatenate([w9[..., -1:], w9, w9[..., :1]], axis=-1)
-    neigh = jax.lax.reduce_window(
-        w9p, -jnp.inf, jax.lax.max, (1, 1, 1, 3), (1, 1, 1, 1), "VALID")
-    neigh_max = neigh.max(axis=2)                       # (B, Kb, 60)
-    HALO_MARGIN = 1.0   # target gap is 2.0 logits; tolerate peak jitter
-    not_halo = w >= neigh_max - HALO_MARGIN
+    if cfg.halo_margin > 0:
+        G_ = b_logit.shape[1]
+        di = jnp.arange(-1, 2)
+        nx = jnp.clip(bx[..., None, None] + di[:, None], 0, G_ - 1)
+        ny = jnp.clip(by[..., None, None] + di[None, :], 0, G_ - 1)
+        w9 = preds["bond_omega"][b_idx[..., None, None], nx, ny]
+        w9 = w9.reshape(w.shape[0], w.shape[1], 9, NO)  # (B, Kb, 9, 60)
+        w9p = jnp.concatenate([w9[..., -1:], w9, w9[..., :1]], axis=-1)
+        neigh = jax.lax.reduce_window(
+            w9p, -jnp.inf, jax.lax.max, (1, 1, 1, 3), (1, 1, 1, 1),
+            "VALID")
+        neigh_max = neigh.max(axis=2)                   # (B, Kb, 60)
+        not_halo = w >= neigh_max - cfg.halo_margin
+    else:
+        not_halo = jnp.ones_like(w, dtype=bool)
 
     keep = local_max & not_halo & _antipodal_keep(w)
 
