@@ -63,10 +63,12 @@ def erode_strokes(img):
 
 
 def gray_scan(img):
-    """Low-contrast 'scan': gray background, dark strokes — decodable
-    only through the 0.2-threshold path (utils_for_test.py:23)."""
+    """Low-contrast 'scan': MID-GRAY background (~0.5), dark strokes
+    (~0.1) — the default 0.6 threshold floods the page (background
+    < 0.6 counts as foreground) while the reference's scanned-set
+    threshold 0.2 keeps only the strokes (utils_for_test.py:23)."""
     f = img.astype(np.float32) / 255.0
-    out = np.where(f < 0.5, 0.10 + 0.05 * f, 0.72 + 0.10 * f)
+    out = np.where(f < 0.5, 0.08 + 0.06 * f, 0.46 + 0.08 * f)
     return (out * 255).astype(np.uint8)
 
 
