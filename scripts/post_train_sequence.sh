@@ -28,7 +28,7 @@ echo "== bench =="
 python -u bench.py > /tmp/bench_r2_final.log 2>&1
 
 echo "== slow multihost test =="
-python -m pytest tests/test_multihost.py -q -m "" \
+python -m pytest tests/test_multihost.py -q -m "slow or not slow" \
   > /tmp/multihost_r2.log 2>&1
 
 echo "== done $(date) =="
