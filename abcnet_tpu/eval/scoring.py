@@ -80,6 +80,10 @@ def score_pairs(truths: Sequence[str],
             dice_sum += morgan_dice(from_smiles(truth), from_smiles(pred))
         except Exception:
             pass
+    # All rates divide by n (total pairs), NOT by the decoded count —
+    # deliberate reference parity: cal_acc.py:45-51 averages over every
+    # row, so an undecodable image counts as a miss, and the Dice mean
+    # treats it as similarity 0.
     return ScoreReport(
         n=n, n_decoded=decoded,
         exact_match=hits_taut / n if n else 0.0,
