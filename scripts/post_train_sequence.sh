@@ -1,10 +1,11 @@
 #!/bin/bash
 # Post-training measurement sequence (round 2): waits for the training
-# watchdog to finish, then runs every chip-bound evaluation in order.
+# watchdog to finish, then runs every chip-bound evaluation in order
+# (one python job at a time — 1 CPU core, 1 chip).
 # Usage: bash scripts/post_train_sequence.sh [train_log]
 
 set -u
-TRAIN_LOG=${1:-/tmp/train_phase3b.log}
+TRAIN_LOG=${1:-/tmp/train_r2.log}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 
@@ -14,11 +15,19 @@ done
 sleep 10
 echo "== post-train sequence start $(date) =="
 
-cp "$TRAIN_LOG" logs/train_phase3.log
+cp "$TRAIN_LOG" logs/train_r2_full.log
 
 echo "== final_eval =="
 python -u scripts/final_eval.py 256 > /tmp/final_eval_r2.log 2>&1
 cp /tmp/final_eval_r2.log logs/final_eval_r2.log
+
+echo "== img2smiles CLI drive (double-buffered serving loop) =="
+env JAX_PLATFORMS=cpu python -m abcnet_tpu gen --out /tmp/ds_drive -n 36 \
+  --seed 4242 > /tmp/cli_drive.log 2>&1
+python -u -m abcnet_tpu img2smiles --data /tmp/ds_drive \
+  --out /tmp/r_drive.csv -b 16 --ckpt weights >> /tmp/cli_drive.log 2>&1
+tail -2 /tmp/cli_drive.log
+cp /tmp/cli_drive.log logs/cli_drive_r2.log
 
 echo "== degraded_bench =="
 python -u scripts/degraded_bench.py 128 > /tmp/degraded_r2.log 2>&1
@@ -26,9 +35,11 @@ cp /tmp/degraded_r2.log logs/degraded_bench_r2.log
 
 echo "== bench =="
 python -u bench.py > /tmp/bench_r2_final.log 2>&1
+cp /tmp/bench_r2_final.log logs/bench_r2.log
 
 echo "== slow multihost test =="
 python -m pytest tests/test_multihost.py -q -m "slow or not slow" \
   > /tmp/multihost_r2.log 2>&1
+tail -2 /tmp/multihost_r2.log
 
 echo "== done $(date) =="
