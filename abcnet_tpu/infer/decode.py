@@ -56,18 +56,29 @@ class DecodeConfig:
     # encoder's center/halo gap is 2.0 logits; 1.0 tolerates trained-
     # model peak jitter. <=0 disables the filter.
     halo_margin: float = 1.0
+    # Use the fused Pallas NMS+top-K kernel (ops/pallas_peaks.py) for
+    # peak selection instead of the XLA pool/mask/top_k chain. Bit-equal
+    # results (tests/test_pallas_peaks.py); opt-in pending an on-chip
+    # benchmark.
+    use_pallas_nms: bool = False
 
 
-def _topk_logit_peaks(logit: jnp.ndarray, k: int, threshold: float):
+def _topk_logit_peaks(logit: jnp.ndarray, k: int, threshold: float,
+                      use_pallas: bool = False):
     """logit: (B, G, G). Returns (logit_score, x, y, valid) each (B, k).
 
     NMS keeps local maxima of the 3x3 neighborhood; ties inside a
     plateau keep every cell (as the reference's == comparison does).
     """
-    pooled = maxpool2d_same(logit[..., None])[..., 0]
-    mask = (pooled == logit) & (logit > threshold)
-    scores = jnp.where(mask, logit, -jnp.inf).reshape(logit.shape[0], -1)
-    top, idx = jax.lax.top_k(scores, k)
+    if use_pallas:
+        from ..ops.pallas_peaks import nms_topk
+        top, idx = nms_topk(logit, k, threshold)
+    else:
+        pooled = maxpool2d_same(logit[..., None])[..., 0]
+        mask = (pooled == logit) & (logit > threshold)
+        scores = jnp.where(mask, logit, -jnp.inf).reshape(
+            logit.shape[0], -1)
+        top, idx = jax.lax.top_k(scores, k)
     width = logit.shape[-1]
     x = idx // width
     y = idx % width
@@ -149,7 +160,8 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
     # ---- atoms ----
     a_logit = preds["atom_target"][..., 0]
     a_raw, ax, ay, a_valid = _topk_logit_peaks(a_logit, cfg.max_atoms,
-                                               logit_thr)
+                                               logit_thr,
+                                               cfg.use_pallas_nms)
     a_score = jax.nn.sigmoid(a_raw)
     b_idx = jnp.arange(a_logit.shape[0])[:, None]
     atom_type = jnp.argmax(preds["atom_type"], axis=-1)[b_idx, ax, ay]
@@ -159,7 +171,8 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
     # ---- bond centers ----
     b_logit = preds["bond_target"][..., 0]
     _, bx, by, b_valid = _topk_logit_peaks(b_logit, cfg.max_bonds,
-                                           logit_thr)
+                                           logit_thr,
+                                           cfg.use_pallas_nms)
 
     # ---- omega bins at bond peaks (logit domain) ----
     w = preds["bond_omega"][b_idx, bx, by]          # (B, Kb, 60)
