@@ -1,8 +1,16 @@
-"""Decompose train-step time into stages (run on the real chip).
+"""Decompose train-step/inference time into stages (run on the real chip).
 
-Times each jitted sub-program separately: preprocess+targets, forward,
-forward+losses, full train step with/without metrics, inference
-pipeline. Usage: python scripts/profile_step.py [batch]
+Times each jitted sub-program separately with a true device->host VALUE
+FETCH per iteration (under the axon tunnel block_until_ready returns
+before execution — fetching a value is the only reliable barrier; see
+bench.py), and reports a null-program round-trip so stage times can be
+read net of tunnel latency.
+
+Stages: null (RTT), preprocess+targets, forward (train), forward+losses,
+inference pipeline (XLA NMS), inference pipeline (Pallas NMS), full
+train step with/without metrics.
+
+Usage: python scripts/profile_step.py [batch] [stage,stage,...]
 """
 
 import os
@@ -13,28 +21,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from abcnet_tpu.data import pipeline
-from abcnet_tpu.infer.decode import extract_peaks
-from abcnet_tpu.ops import losses as L
+from abcnet_tpu.infer.decode import DecodeConfig, extract_peaks
 from abcnet_tpu.ops.targets import build_targets
 from abcnet_tpu.parallel import make_mesh, replicate_tree, shard_batch
 from abcnet_tpu.train import trainer
 
 
-def timeit(fn, *args, n=10, warmup=2):
+def timeit(fn, *args, n=8, warmup=2):
+    def fetch(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    fetch(out)
+    times = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1000.0
+        fetch(out)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2] * 1000.0
 
 
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     cfg = trainer.TrainConfig(batch_size=batch_size)
     mesh = make_mesh(1)
     state = replicate_tree(trainer.create_state(cfg), mesh)
@@ -42,63 +55,87 @@ def main():
     batch = shard_batch(hb, mesh)
     key = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def prep_targets(batch, key):
-        images = pipeline.device_unpack_bits(batch["image_bits"], key)
-        targets = build_targets(batch)
-        return images, targets
+    def want(name):
+        return only is None or name in only
 
-    @jax.jit
-    def forward(state, batch, key):
-        images = pipeline.device_unpack_bits(batch["image_bits"], key)
-        return state.apply_fn({"params": state.params,
-                               "batch_stats": state.batch_stats},
-                              images, train=True,
-                              mutable=["batch_stats"],
-                              rngs={"dropout": key})
+    print(f"batch {batch_size}", flush=True)
 
-    @jax.jit
-    def fwd_loss(state, batch, key):
-        total, aux = trainer.loss_and_metrics(
-            state.params, state.batch_stats, state.apply_fn, batch, key,
-            0.2, True, with_metrics=False)
-        return total
+    if want("null"):
+        @jax.jit
+        def null(x):
+            return x + 1
+        x0 = jnp.zeros((8,), jnp.float32)
+        print(f"null round-trip    : {timeit(null, x0):8.1f} ms "
+              "(dispatch+fetch tunnel latency)", flush=True)
 
-    @jax.jit
-    def infer(state, batch):
-        images = pipeline.device_unpack_bits(batch["image_bits"],
-                                             jax.random.PRNGKey(0),
-                                             train=False)
-        preds = state.apply_fn({"params": state.params,
-                                "batch_stats": state.batch_stats},
-                               images, train=False)
-        return extract_peaks(preds)
+    if want("targets"):
+        @jax.jit
+        def prep_targets(batch, key):
+            images = pipeline.device_unpack_bits(batch["image_bits"], key)
+            targets = build_targets(batch)
+            return images, targets
+        print(f"preprocess+targets : {timeit(prep_targets, batch, key):8.1f} ms",
+              flush=True)
 
-    print(f"batch {batch_size}")
-    print(f"preprocess+targets : {timeit(prep_targets, batch, key):8.1f} ms")
-    print(f"forward (train)    : {timeit(forward, state, batch, key):8.1f} ms")
-    print(f"forward+losses     : {timeit(fwd_loss, state, batch, key):8.1f} ms")
-    print(f"inference pipeline : {timeit(infer, state, batch):8.1f} ms")
+    if want("forward"):
+        @jax.jit
+        def forward(state, batch, key):
+            images = pipeline.device_unpack_bits(batch["image_bits"], key)
+            return state.apply_fn({"params": state.params,
+                                   "batch_stats": state.batch_stats},
+                                  images, train=True,
+                                  mutable=["batch_stats"],
+                                  rngs={"dropout": key})
+        print(f"forward (train)    : {timeit(forward, state, batch, key):8.1f} ms",
+              flush=True)
 
-    def step_m(state, batch, key):
-        s2, total, losses, mets = trainer.train_step(state, batch, key,
-                                                     amount=0.2,
-                                                     with_metrics=True)
-        return total
+    if want("fwdloss"):
+        @jax.jit
+        def fwd_loss(state, batch, key):
+            total, aux = trainer.loss_and_metrics(
+                state.params, state.batch_stats, state.apply_fn, batch,
+                key, 0.2, True, with_metrics=False)
+            return total
+        print(f"forward+losses     : {timeit(fwd_loss, state, batch, key):8.1f} ms",
+              flush=True)
 
-    def step_nm(state, batch, key):
-        s2, total, losses, mets = trainer.train_step(state, batch, key,
-                                                     amount=0.2,
-                                                     with_metrics=False)
-        return total
+    if want("infer") or want("infer_pallas"):
+        def make_infer(decode_cfg):
+            @jax.jit
+            def infer(state, batch):
+                images = pipeline.device_unpack_bits(
+                    batch["image_bits"], jax.random.PRNGKey(0),
+                    train=False)
+                preds = state.apply_fn({"params": state.params,
+                                        "batch_stats": state.batch_stats},
+                                       images, train=False)
+                return extract_peaks(preds, decode_cfg)
+            return infer
+        if want("infer"):
+            f = make_infer(DecodeConfig())
+            print(f"infer (XLA NMS)    : {timeit(f, state, batch):8.1f} ms",
+                  flush=True)
+        if want("infer_pallas"):
+            f = make_infer(DecodeConfig(use_pallas_nms=True))
+            print(f"infer (Pallas NMS) : {timeit(f, state, batch):8.1f} ms",
+                  flush=True)
 
-    # train_step donates state; keep a fresh copy per timed call set.
-    import copy
-    st = jax.tree_util.tree_map(jnp.array, state)
-    print(f"full step +metrics : "
-          f"{timeit(lambda b, k: step_m(jax.tree_util.tree_map(jnp.array, st), b, k), batch, key):8.1f} ms (incl. state copy)")
-    print(f"full step -metrics : "
-          f"{timeit(lambda b, k: step_nm(jax.tree_util.tree_map(jnp.array, st), b, k), batch, key):8.1f} ms (incl. state copy)")
+    if want("step") or want("step_metrics"):
+        def step_fn(with_metrics):
+            def go(st, batch, key):
+                st2, total, losses, mets = trainer.train_step(
+                    jax.tree_util.tree_map(jnp.array, st), batch, key,
+                    amount=0.2, with_metrics=with_metrics)
+                return total
+            return go
+        if want("step"):
+            print(f"full step -metrics : "
+                  f"{timeit(step_fn(False), state, batch, key):8.1f} ms "
+                  "(incl. state copy)", flush=True)
+        if want("step_metrics"):
+            print(f"full step +metrics : "
+                  f"{timeit(step_fn(True), state, batch, key):8.1f} ms "
+                  "(incl. state copy)", flush=True)
 
 
 if __name__ == "__main__":
