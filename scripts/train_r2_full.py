@@ -80,14 +80,17 @@ def build_pool(path: str, n: int = POOL_N) -> None:
 def load_pool(path: str):
     t0 = time.time()
     z = np.load(path)
+    # Bind each npz member ONCE — NpzFile.__getitem__ re-reads the whole
+    # array from the zip on every access.
     blob, shapes, offsets = z["blob"], z["shapes"], z["offsets"]
+    atoms, bonds, smiles = z["atoms"], z["bonds"], z["smiles"]
     samples = []
     for i in range(len(shapes)):
         h, w = shapes[i]
         img = blob[offsets[i]:offsets[i] + h * w].reshape(h, w)
-        samples.append(Sample(image=img, atoms_string=str(z["atoms"][i]),
-                              bonds_string=str(z["bonds"][i]),
-                              smiles=str(z["smiles"][i])))
+        samples.append(Sample(image=img, atoms_string=str(atoms[i]),
+                              bonds_string=str(bonds[i]),
+                              smiles=str(smiles[i])))
     print(f"pool loaded: {len(samples)} samples in "
           f"{time.time() - t0:.0f}s", flush=True)
     return samples
