@@ -45,6 +45,16 @@ def timeit(fn, *args, n=8, warmup=2):
     return sorted(times)[len(times) // 2] * 1000.0
 
 
+def report(label, fn, *args):
+    """One stage; a failing stage (e.g. a kernel the backend rejects)
+    must not kill the rest of the profile."""
+    try:
+        print(f"{label}: {timeit(fn, *args):8.1f} ms", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{label}: FAILED {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+
+
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -65,8 +75,7 @@ def main():
         def null(x):
             return x + 1
         x0 = jnp.zeros((8,), jnp.float32)
-        print(f"null round-trip    : {timeit(null, x0):8.1f} ms "
-              "(dispatch+fetch tunnel latency)", flush=True)
+        report("null round-trip    ", null, x0)
 
     if want("targets"):
         @jax.jit
@@ -74,8 +83,7 @@ def main():
             images = pipeline.device_unpack_bits(batch["image_bits"], key)
             targets = build_targets(batch)
             return images, targets
-        print(f"preprocess+targets : {timeit(prep_targets, batch, key):8.1f} ms",
-              flush=True)
+        report("preprocess+targets ", prep_targets, batch, key)
 
     if want("forward"):
         @jax.jit
@@ -86,8 +94,7 @@ def main():
                                   images, train=True,
                                   mutable=["batch_stats"],
                                   rngs={"dropout": key})
-        print(f"forward (train)    : {timeit(forward, state, batch, key):8.1f} ms",
-              flush=True)
+        report("forward (train)    ", forward, state, batch, key)
 
     if want("fwdloss"):
         @jax.jit
@@ -96,8 +103,7 @@ def main():
                 state.params, state.batch_stats, state.apply_fn, batch,
                 key, 0.2, True, with_metrics=False)
             return total
-        print(f"forward+losses     : {timeit(fwd_loss, state, batch, key):8.1f} ms",
-              flush=True)
+        report("forward+losses     ", fwd_loss, state, batch, key)
 
     if want("infer") or want("infer_pallas"):
         def make_infer(decode_cfg):
@@ -113,12 +119,10 @@ def main():
             return infer
         if want("infer"):
             f = make_infer(DecodeConfig())
-            print(f"infer (XLA NMS)    : {timeit(f, state, batch):8.1f} ms",
-                  flush=True)
+            report("infer (XLA NMS)    ", f, state, batch)
         if want("infer_pallas"):
             f = make_infer(DecodeConfig(use_pallas_nms=True))
-            print(f"infer (Pallas NMS) : {timeit(f, state, batch):8.1f} ms",
-                  flush=True)
+            report("infer (Pallas NMS) ", f, state, batch)
 
     if want("step") or want("step_metrics"):
         def step_fn(with_metrics):
@@ -129,13 +133,9 @@ def main():
                 return total
             return go
         if want("step"):
-            print(f"full step -metrics : "
-                  f"{timeit(step_fn(False), state, batch, key):8.1f} ms "
-                  "(incl. state copy)", flush=True)
+            report("full step -metrics ", step_fn(False), state, batch, key)
         if want("step_metrics"):
-            print(f"full step +metrics : "
-                  f"{timeit(step_fn(True), state, batch, key):8.1f} ms "
-                  "(incl. state copy)", flush=True)
+            report("full step +metrics ", step_fn(True), state, batch, key)
 
 
 if __name__ == "__main__":
