@@ -10,6 +10,11 @@ neighbor-max via shifted compares, and an iterative K-step
 select-and-suppress loop emits scores+indices directly — the masked
 score map never reaches HBM and nothing is sorted.
 
+Mosaic tiling: blocks are 8 images per program — (8, G, G) input and
+(8, K) output tiles satisfy the (sublane 8, lane 128) f32 tiling rule
+(a (1, K) output block does not); the wrapper pads the batch dim to a
+multiple of 8 with -inf maps and slices the padding off.
+
 Parity contract (tested in tests/test_pallas_peaks.py against the XLA
 path, interpret mode):
   * NMS keeps cells equal to their 3x3-neighborhood max (plateau ties
@@ -29,6 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_B = 8   # images per program (f32 sublane tile)
 
 
 def _shifted_neighbor_max(x: jnp.ndarray) -> jnp.ndarray:
@@ -59,22 +66,31 @@ def _shifted_neighbor_max(x: jnp.ndarray) -> jnp.ndarray:
 
 def _nms_topk_kernel(x_ref, scores_ref, idx_ref, *, k: int,
                      threshold: float):
-    x = x_ref[0]                                   # (G, G) f32
-    g0, g1 = x.shape
-    pooled = _shifted_neighbor_max(x)
-    keep = (pooled == x) & (x > threshold)
-    flat = jnp.where(keep, x, -jnp.inf).reshape(1, g0 * g1)
-
-    def body(i, flat):
-        # First-occurrence argmax == lax.top_k's stable tie order.
-        best = jnp.max(flat)
-        bidx = jnp.argmax(flat, axis=1)[0].astype(jnp.int32)
-        scores_ref[0, i] = best
-        idx_ref[0, i] = bidx
+    for j in range(_BLOCK_B):                      # static unroll
+        x = x_ref[j]                               # (G, G) f32
+        g0, g1 = x.shape
+        pooled = _shifted_neighbor_max(x)
+        keep = (pooled == x) & (x > threshold)
+        flat = jnp.where(keep, x, -jnp.inf).reshape(1, g0 * g1)
         cols = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 1)
-        return jnp.where(cols == bidx, -jnp.inf, flat)
+        cols_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    jax.lax.fori_loop(0, k, body, flat)
+        def body(i, carry):
+            flat, svec, ivec = carry
+            # First-occurrence argmax == lax.top_k's stable tie order.
+            best = jnp.max(flat)
+            bidx = jnp.argmax(flat, axis=1)[0].astype(jnp.int32)
+            svec = jnp.where(cols_k == i, best, svec)
+            ivec = jnp.where(cols_k == i, bidx, ivec)
+            flat = jnp.where(cols == bidx, -jnp.inf, flat)
+            return flat, svec, ivec
+
+        _, svec, ivec = jax.lax.fori_loop(
+            0, k, body,
+            (flat, jnp.full((1, k), -jnp.inf, jnp.float32),
+             jnp.zeros((1, k), jnp.int32)))
+        scores_ref[j, :] = svec[0]
+        idx_ref[j, :] = ivec[0]
 
 
 def nms_topk(logit: jnp.ndarray, k: int, threshold: float,
@@ -86,28 +102,35 @@ def nms_topk(logit: jnp.ndarray, k: int, threshold: float,
     if interpret is None:
         # axon = TPU behind the experimental tunnel (still Mosaic-lowered)
         interpret = jax.default_backend() not in ("tpu", "axon")
-    return _nms_topk(logit, k, threshold, interpret)
+    b = logit.shape[0]
+    b_pad = -(-b // _BLOCK_B) * _BLOCK_B
+    scores, idx = _nms_topk(logit, b_pad, k, threshold, interpret)
+    return scores[:b], idx[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "threshold", "interpret"))
-def _nms_topk(logit: jnp.ndarray, k: int, threshold: float,
+@functools.partial(jax.jit,
+                   static_argnames=("b_pad", "k", "threshold", "interpret"))
+def _nms_topk(logit: jnp.ndarray, b_pad: int, k: int, threshold: float,
               interpret: bool):
     b, g0, g1 = logit.shape
+    if b_pad != b:
+        pad = jnp.full((b_pad - b, g0, g1), -jnp.inf, jnp.float32)
+        logit = jnp.concatenate([logit.astype(jnp.float32), pad], axis=0)
     kernel = functools.partial(_nms_topk_kernel, k=k, threshold=threshold)
     scores, idx = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, g0, g1), lambda i: (i, 0, 0),
+        grid=(b_pad // _BLOCK_B,),
+        in_specs=[pl.BlockSpec((_BLOCK_B, g0, g1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, k), lambda i: (i, 0),
+            pl.BlockSpec((_BLOCK_B, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0),
+            pl.BlockSpec((_BLOCK_B, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
         ),
         interpret=interpret,
     )(logit.astype(jnp.float32))
