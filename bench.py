@@ -121,6 +121,21 @@ def main() -> None:
     model = UNet(dtype=jnp.bfloat16)
     variables = init_unet(jax.random.PRNGKey(0), model)
 
+    # Null-program round-trip: the tunnel's dispatch+fetch latency.
+    # Sync numbers include one of these per iteration; the pipelined
+    # headline hides it (profiled 2026-08-16: ~30 ms).
+    @jax.jit
+    def _null(x):
+        return x + 1
+    z = jnp.zeros((8,), jnp.float32)
+    np.asarray(_null(z))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(_null(z))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
+
     @jax.jit
     def infer_pipeline(variables, image_bits, carry):
         # carry (uint8 scalar from the previous iteration's output) is
@@ -238,6 +253,7 @@ def main() -> None:
         "iter_ms_mean": round(sum(times) / len(times) * 1e3, 2),
         "train_step_ips": round(train_ips, 1),
         "train_step_ms": round(train_med * 1e3, 1),
+        "tunnel_rtt_ms": round(rtt_ms, 1),
         "contended_procs": contended,
     }))
 

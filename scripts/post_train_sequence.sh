@@ -37,6 +37,12 @@ echo "== bench =="
 python -u bench.py > /tmp/bench_r2_final.log 2>&1
 cp /tmp/bench_r2_final.log logs/bench_r2.log
 
+echo "== decode A/B: XLA vs Pallas NMS =="
+python -u scripts/profile_step.py 64 null,infer,infer_pallas \
+  > /tmp/profile_ab.log 2>&1
+tail -3 /tmp/profile_ab.log
+cp /tmp/profile_ab.log logs/profile_ab_r2.log
+
 echo "== slow multihost test =="
 python -m pytest tests/test_multihost.py -q -m "slow or not slow" \
   > /tmp/multihost_r2.log 2>&1
