@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from abcnet_tpu.data import pipeline
 from abcnet_tpu.infer.decode import DecodeConfig, extract_peaks
@@ -123,6 +124,28 @@ def main():
         if want("infer_pallas"):
             f = make_infer(DecodeConfig(use_pallas_nms=True))
             report("infer (Pallas NMS) ", f, state, batch)
+
+    if want("grads"):
+        @jax.jit
+        def grads_only(state, batch, key):
+            grad_fn = jax.value_and_grad(trainer.loss_and_metrics,
+                                         has_aux=True)
+            (total, aux), grads = grad_fn(
+                state.params, state.batch_stats, state.apply_fn, batch,
+                key, 0.2, True, False)
+            return total, grads
+        report("fwd+bwd (no opt)   ", grads_only, state, batch, key)
+
+    if want("adam"):
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        @jax.jit
+        def adam_only(state, grads):
+            updates, opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+            params = optax.apply_updates(state.params, updates)
+            return jax.tree_util.tree_leaves(params)[0]
+        report("adam update only   ", adam_only, state, zero_grads)
 
     if want("step") or want("step_metrics"):
         def step_fn(with_metrics):
