@@ -21,6 +21,13 @@ echo "== final_eval =="
 python -u scripts/final_eval.py 256 > /tmp/final_eval_r2.log 2>&1
 cp /tmp/final_eval_r2.log logs/final_eval_r2.log
 
+echo "== classify final_eval failures =="
+env JAX_PLATFORMS=cpu python scripts/classify_results.py \
+  $(ls -t logs/final_eval_step*.csv | head -1) 40 \
+  > /tmp/classify_r2.log 2>&1
+tail -5 /tmp/classify_r2.log
+cp /tmp/classify_r2.log logs/classify_r2.log
+
 echo "== img2smiles CLI drive (double-buffered serving loop) =="
 env JAX_PLATFORMS=cpu python -m abcnet_tpu gen --out /tmp/ds_drive -n 36 \
   --seed 4242 > /tmp/cli_drive.log 2>&1
