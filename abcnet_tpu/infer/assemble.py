@@ -48,6 +48,28 @@ def _leaky_relu(x: np.ndarray) -> np.ndarray:
     return np.maximum(x, 0.5 * x)
 
 
+# Along-axis overshoot tolerance cap (grid units). The reference score
+# (img2smiles2.py:20-22) halves the along-axis penalty without limit, so
+# in crowded drawings a far atom sitting almost exactly ON the bond axis
+# can beat the true atom sitting ~1 unit off-axis (observed: a CF3
+# fluorine 3.9 units beyond the endpoint outscoring the true pyridine N
+# by 0.02 — the reference matcher loses the same molecule). Overshoot
+# exists to absorb the label-to-atom-center rendering gap, which is
+# bounded (~<2 grid units); beyond the cap the slope rises to 2.0
+# (0.5 + _OVERSHOOT_EXTRA_SLOPE, continuous). Cap <= 0 restores exact
+# reference behavior.
+OVERSHOOT_CAP = 2.0
+_OVERSHOOT_EXTRA_SLOPE = 1.5
+
+
+def _overshoot_extra(along: np.ndarray, cap: float) -> np.ndarray:
+    """Extra penalty for along-axis overshoot beyond `cap` (along is the
+    signed axis residual; negative = atom beyond the endpoint)."""
+    if cap is None or cap <= 0:
+        return np.zeros_like(along)
+    return np.maximum(-along - cap, 0.0) * _OVERSHOOT_EXTRA_SLOPE
+
+
 def _graph_to_smiles(types: List[str], charges: List[int],
                      positions: List[Sequence[float]], hs: List[int],
                      bond_pairs_1b: List[List[int]],
@@ -95,15 +117,16 @@ def _graph_to_smiles(types: List[str], charges: List[int],
         return None
 
 
-def assemble_smiles_native(peaks: Dict[str, np.ndarray],
-                           index: int) -> Optional[str]:
+def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
+                           overshoot_cap: float = OVERSHOOT_CAP
+                           ) -> Optional[str]:
     """C++ fast path: graph assembly in native code (native/assemble.cpp),
     MolBlock/SMILES in the chem stack. Falls back to the numpy path when
     the shared library is not built."""
     from .native import assemble_graph_native, load_native
     if load_native() is None:
         return assemble_smiles(peaks, index)
-    out = assemble_graph_native(peaks, index)
+    out = assemble_graph_native(peaks, index, overshoot_cap)
     if out is None:
         return None
     pos, a_type, a_charge, a_hs, bonds, b_orders = out
@@ -117,13 +140,16 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray],
 
 def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
                     verbose: bool = False,
-                    midpoint_check: Optional[float] = None) -> Optional[str]:
+                    midpoint_check: Optional[float] = None,
+                    overshoot_cap: float = OVERSHOOT_CAP) -> Optional[str]:
     """Decode one image's peaks (row `index` of the batch arrays).
 
     midpoint_check: optional grid-unit threshold reproducing the
     multiprocessing decoder's extra sanity rule — drop a bond when the
     midpoint of its matched atoms is farther than this from the bond
     peak (multi_proc_img2smiles2.py:160-162 uses 7 px = 1.75 units).
+    overshoot_cap: along-axis overshoot tolerance cap (see
+    OVERSHOOT_CAP above); pass 0 for exact reference matching.
     """
     av = peaks["atom_valid"][index]
     bv = peaks["bond_valid"][index]
@@ -169,9 +195,11 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
     e2 = np.stack([-e1[:, 1], e1[:, 0]], axis=-1)
     e1 = e1[:, None, :]
     e2 = e2[:, None, :]
-    d1 = (np.abs(_leaky_relu(((p1 - ap) * e1).sum(-1)))
+    al1 = ((p1 - ap) * e1).sum(-1)
+    al2 = -((p2 - ap) * e1).sum(-1)
+    d1 = (np.abs(_leaky_relu(al1)) + _overshoot_extra(al1, overshoot_cap)
           + np.abs(2 * ((p1 - ap) * e2).sum(-1)))
-    d2 = (np.abs(_leaky_relu(-((p2 - ap) * e1).sum(-1)))
+    d2 = (np.abs(_leaky_relu(al2)) + _overshoot_extra(al2, overshoot_cap)
           + np.abs(2 * ((p2 - ap) * e2).sum(-1)))
     atom_index1 = d2.argmin(-1)                           # begin atoms
     atom_index2 = d1.argmin(-1)                           # end atoms

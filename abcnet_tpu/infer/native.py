@@ -35,6 +35,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         _I32P, _I32P, _I32P, _I32P, _U8P, ctypes.c_int32,
         _I32P, _F32P, _I32P, _U8P, ctypes.c_int32,
         _F64P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P,
+        ctypes.c_double,
     ]
     return lib
 
@@ -43,7 +44,8 @@ def _p(arr, typ):
     return arr.ctypes.data_as(typ)
 
 
-def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int
+def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
+                          overshoot_cap: float = 2.0
                           ) -> Optional[Tuple]:
     """Run the C++ assembler for one image. Returns
     (atom_pos [A,2], atom_type [A], atom_charge [A], atom_hs [A],
@@ -78,7 +80,7 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int
         _p(bxy, _I32P), _p(bd, _F32P), _p(bt, _I32P), _p(bv, _U8P), kb,
         _p(out_pos, _F64P), _p(out_type, _I32P), _p(out_charge, _I32P),
         _p(out_hs, _I32P), _p(out_bonds, _I32P), _p(out_btype, _I32P),
-        _p(n_bonds, _I32P))
+        _p(n_bonds, _I32P), ctypes.c_double(overshoot_cap))
     if na < 0:
         return None
     nb = int(n_bonds[0])

@@ -89,7 +89,15 @@ int32_t assemble_graph(
     const int32_t* bond_type, const uint8_t* bond_valid, int32_t kb,
     double* out_atom_pos, int32_t* out_atom_type,
     int32_t* out_atom_charge, int32_t* out_atom_hs,
-    int32_t* out_bonds, int32_t* out_bond_type, int32_t* out_n_bonds) {
+    int32_t* out_bonds, int32_t* out_bond_type, int32_t* out_n_bonds,
+    double overshoot_cap) {
+  // Along-axis overshoot penalty beyond the cap (see
+  // infer/assemble.py:OVERSHOOT_CAP); cap <= 0 = reference behavior.
+  auto overshoot_extra = [overshoot_cap](double along) {
+    if (overshoot_cap <= 0) return 0.0;
+    double o = -along - overshoot_cap;
+    return o > 0 ? 1.5 * o : 0.0;
+  };
   *out_n_bonds = 0;
 
   // ---- atoms: scan-order dedup at squared distance < 4
@@ -138,11 +146,13 @@ int32_t assemble_graph(
     double bd1 = 1e30, bd2 = 1e30;
     for (int a = 0; a < na; ++a) {
       double r1x = p1x - atoms[a].x, r1y = p1y - atoms[a].y;
-      double d1 = std::fabs(leaky_relu(r1x * e1x + r1y * e1y)) +
+      double al1 = r1x * e1x + r1y * e1y;
+      double d1 = std::fabs(leaky_relu(al1)) + overshoot_extra(al1) +
                   std::fabs(2.0 * (r1x * e2x + r1y * e2y));
       if (d1 < bd1) { bd1 = d1; best2 = a; }
       double r2x = p2x - atoms[a].x, r2y = p2y - atoms[a].y;
-      double d2 = std::fabs(leaky_relu(-(r2x * e1x + r2y * e1y))) +
+      double al2 = -(r2x * e1x + r2y * e1y);
+      double d2 = std::fabs(leaky_relu(al2)) + overshoot_extra(al2) +
                   std::fabs(2.0 * (r2x * e2x + r2y * e2y));
       if (d2 < bd2) { bd2 = d2; best1 = a; }
     }
