@@ -50,7 +50,13 @@ def _shifted_neighbor_max(x: jnp.ndarray) -> jnp.ndarray:
         for dc in (-1, 0, 1):
             if dr == 0 and dc == 0:
                 continue
-            shifted = jnp.roll(x, (dr, dc), axis=(0, 1))
+            # Per-axis pltpu.roll: Mosaic rejects jnp.roll's
+            # concat/slice lowering on (G, G) tiles.
+            shifted = x
+            if dr:
+                shifted = pltpu.roll(shifted, dr % g0, 0)
+            if dc:
+                shifted = pltpu.roll(shifted, dc % g1, 1)
             ok = jnp.ones((g0, g1), jnp.bool_)
             if dr == 1:
                 ok &= row > 0
