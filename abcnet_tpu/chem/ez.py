@@ -73,24 +73,46 @@ def assign_ez_from_coords(mol: Mol) -> int:
     for bi, bond in enumerate(mol.bonds):
         if bond.order != 2 or bond.aromatic or ring[bi]:
             continue
-        ref = reference_substituents(mol, bi)
-        if ref is None:
-            continue
-        x, y = ref
         a, b = mol.atoms[bond.a], mol.atoms[bond.b]
-        ax, ay = a.x, a.y
-        dx, dy = mol.atoms[bond.b].x - ax, mol.atoms[bond.b].y - ay
-        sx = dx * (mol.atoms[x].y - ay) - dy * (mol.atoms[x].x - ax)
-        sy = dx * (mol.atoms[y].y - b.y) - dy * (mol.atoms[y].x - b.x)
-        # Scale-aware threshold (see stereo.parity_from_positions):
-        # degenerate-in-grid configurations must not become assigned
-        # from MolBlock %.4f rounding noise after the /60 transform.
-        m = max(abs(dx), abs(dy),
-                abs(mol.atoms[x].x - ax), abs(mol.atoms[x].y - ay),
-                abs(mol.atoms[y].x - b.x), abs(mol.atoms[y].y - b.y))
-        thr = max(1e-2 * m * m, 1e-12)
-        if abs(sx) < thr or abs(sy) < thr:
+        xs = [n for n in mol.neighbors(bond.a) if n != bond.b]
+        ys = [n for n in mol.neighbors(bond.b) if n != bond.a]
+        if not xs or not ys:
             continue
+        dx, dy = b.x - a.x, b.y - a.y
+
+        def _side(n, end):
+            p = mol.atoms[n]
+            return dx * (p.y - end.y) - dy * (p.x - end.x)
+
+        # The assignment decision must be PAIR-INDEPENDENT: ground
+        # truth and decode may index atoms differently and therefore
+        # evaluate different reference substituents, so every
+        # substituent's geometry must be trustworthy before a tag is
+        # written. Scale-aware threshold (see
+        # stereo.parity_from_positions): degenerate-in-grid
+        # configurations must not become assigned from MolBlock %.4f
+        # rounding noise after the /60 transform.
+        s_a = [(n, _side(n, a)) for n in xs]
+        s_b = [(n, _side(n, b)) for n in ys]
+        m = max([abs(dx), abs(dy)]
+                + [abs(mol.atoms[n].x - a.x) for n in xs]
+                + [abs(mol.atoms[n].y - a.y) for n in xs]
+                + [abs(mol.atoms[n].x - b.x) for n in ys]
+                + [abs(mol.atoms[n].y - b.y) for n in ys])
+        thr = max(1e-2 * m * m, 1e-12)
+        if any(abs(s) < thr for _, s in s_a + s_b):
+            continue
+        # Same-end substituents must straddle the bond axis; stride-4
+        # quantization can squeeze both onto one side (observed: the
+        # two sides then evaluate different pairs and write
+        # CONTRADICTORY isomers — the residual 'stereo~' ceiling
+        # bucket). Such drawings carry no trustworthy E/Z information.
+        if len(s_a) == 2 and (s_a[0][1] > 0) == (s_a[1][1] > 0):
+            continue
+        if len(s_b) == 2 and (s_b[0][1] > 0) == (s_b[1][1] > 0):
+            continue
+        x, sx = min(s_a)
+        y, sy = min(s_b)
         rel = EZ_CIS if (sx > 0) == (sy > 0) else EZ_TRANS
         set_ez_from_pair(mol, bi, x, y, rel)
         assigned += 1
