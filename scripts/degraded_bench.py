@@ -109,10 +109,15 @@ def main():
           flush=True)
 
     truths = [s.smiles for s in samples]
+    # One pipeline per unique binarize threshold: the threshold only
+    # affects host-side bit packing, and a fresh make_infer_pipeline
+    # per variant would recompile the same device program 10x.
+    pipelines = {thr: make_infer_pipeline(state, threshold=thr)
+                 for thr in sorted({t for _, _, t in VARIANTS})}
     print(f"{'variant':<26} {'exact':>7} {'exact_noniso':>12} "
           f"{'dice':>7} {'decode':>7}")
     for name, fn, thr in VARIANTS:
-        run = make_infer_pipeline(state, threshold=thr)
+        run = pipelines[thr]
         preds = []
         t0 = time.time()
         for i in range(0, n, BATCH):
