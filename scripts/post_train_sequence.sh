@@ -37,6 +37,12 @@ timeout 1500 python -u -m abcnet_tpu img2smiles --data /tmp/ds_drive \
 tail -2 /tmp/cli_drive.log
 cp /tmp/cli_drive.log logs/cli_drive_r2.log
 
+echo "== test-acc per-class P/R tables =="
+timeout 1500 python -u -m abcnet_tpu test-acc --data /tmp/ds_drive \
+  --ckpt weights -b 12 > /tmp/test_acc_r2.log 2>&1
+tail -4 /tmp/test_acc_r2.log
+cp /tmp/test_acc_r2.log logs/test_acc_r2.log
+
 echo "== degraded_bench =="
 timeout 4200 python -u scripts/degraded_bench.py 128 > /tmp/degraded_r2.log 2>&1
 cp /tmp/degraded_r2.log logs/degraded_bench_r2.log
