@@ -120,6 +120,22 @@ def main() -> None:
 
     model = UNet(dtype=jnp.bfloat16)
     variables = init_unet(jax.random.PRNGKey(0), model)
+    # Trained weights when available: the host-assembly stage (and the
+    # e2e img/s) depend on the peak profile, and a random-init net on
+    # real images is not the serving workload.
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights")
+    if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        from abcnet_tpu.train import trainer as _tr
+        cfg0 = _tr.TrainConfig()
+        st = _tr.restore_checkpoint(_tr.create_state(cfg0), ckpt_dir)
+        # device_put ONCE: restore returns host numpy arrays, and
+        # passing those to a jitted call re-uploads ~43 MB of params
+        # over the tunnel EVERY iteration (~0.9 s/call measured).
+        variables = jax.device_put({"params": st.params,
+                                    "batch_stats": st.batch_stats})
+        print(f"bench: using trained checkpoint step {int(st.step)}",
+              file=sys.stderr)
 
     # Null-program round-trip: the tunnel's dispatch+fetch latency.
     # Sync numbers include one of these per iteration; the pipelined
@@ -155,11 +171,25 @@ def main() -> None:
                      .astype(jnp.int32) % 2).astype(jnp.uint8)
         return peaks, new_carry
 
-    # Distinct pre-staged input batches (fresh data each iteration).
-    buffers = [
-        jax.device_put(pipeline.synthetic_batch(BATCH, seed=s)["image_bits"])
-        for s in range(N_BUFFERS)
-    ]
+    # Distinct pre-staged input batches (fresh data each iteration) of
+    # REAL rendered molecules: forward cost is data-independent, but
+    # the trained model on noise pixels emits worst-case junk peaks
+    # that make the host-assembly stage (and e2e img/s) unrepresentative.
+    import random as _random
+
+    from abcnet_tpu.data.generate import generate_sample
+
+    def _real_batch_bits(seed):
+        rng = _random.Random(seed)
+        imgs = []
+        while len(imgs) < BATCH:
+            s = generate_sample(rng)
+            if s is not None:
+                imgs.append(s.image)
+        return pipeline.pack_images(np.stack(imgs), 0.6)
+
+    buffers = [jax.device_put(_real_batch_bits(9000 + s))
+               for s in range(N_BUFFERS)]
 
     def infer_step(buf, carry):
         peaks, new_carry = infer_pipeline(variables, buf, carry)
@@ -209,7 +239,12 @@ def main() -> None:
     # ---- host graph assembly to SMILES (the reference's workload ends
     # at SMILES strings, img2smiles2.py:104-317; ours must too) ----
     from abcnet_tpu.infer import assemble_batch
-    host_peaks = {k: np.asarray(v) for k, v in out_prev.items()}
+    # Clean-carry dispatch for the assembly stage: the carry XOR flips
+    # the low bit-plane of the PACKED bytes, i.e. real pixels (salt
+    # noise) — fine for timing the data-independent device program,
+    # not for a representative host-assembly peak profile.
+    clean_peaks, _ = infer_step(buffers[0], jnp.uint8(0))
+    host_peaks = {k: np.asarray(v) for k, v in clean_peaks.items()}
     t0 = time.perf_counter()
     smiles = assemble_batch(host_peaks)
     assemble_dt = time.perf_counter() - t0
