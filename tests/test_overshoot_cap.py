@@ -57,3 +57,20 @@ def test_native_matches_numpy_with_cap():
         a = assemble_smiles(_peaks(), 0, overshoot_cap=cap)
         b = assemble_smiles_native(_peaks(), 0, overshoot_cap=cap)
         assert a == b, (cap, a, b)
+
+
+def test_aromatic_salvage():
+    """Unkekulizable aromatic prediction (odd all-carbon cycle) decodes
+    best-effort instead of None (reference's MolFromMolBlock returns
+    None there); salvage off reproduces the reference behavior."""
+    from abcnet_tpu.infer.assemble import _graph_to_smiles
+    types = ["C"] * 5
+    charges = [0] * 5
+    pos = [[0, 0], [0, 4], [4, 6], [8, 3], [4, -2]]
+    hs = [-1] * 5
+    pairs = [[1, 2], [2, 3], [3, 4], [4, 5], [5, 1]]
+    orders = [4] * 5
+    assert _graph_to_smiles(types, charges, pos, hs, pairs, orders,
+                            salvage_aromatic=False) is None
+    s = _graph_to_smiles(types, charges, pos, hs, pairs, orders)
+    assert s is not None and s.count("C") == 5, s
