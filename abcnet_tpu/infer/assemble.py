@@ -147,7 +147,7 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
     the shared library is not built."""
     from .native import assemble_graph_native, load_native
     if load_native() is None:
-        return assemble_smiles(peaks, index)
+        return assemble_smiles(peaks, index, overshoot_cap=overshoot_cap)
     out = assemble_graph_native(peaks, index, overshoot_cap)
     if out is None:
         return None

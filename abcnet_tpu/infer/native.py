@@ -25,11 +25,32 @@ _F32P = ctypes.POINTER(ctypes.c_float)
 _F64P = ctypes.POINTER(ctypes.c_double)
 
 
+# ABI version this binding targets; must match
+# abcnet_native_abi_version() exported by native/assemble.cpp. A stale
+# .so built before a signature change loads fine under ctypes and
+# silently ignores trailing arguments (x86-64 calling convention), so
+# version-gate instead of trusting the file.
+_ABI_VERSION = 2
+
+
 @functools.lru_cache(maxsize=1)
 def load_native() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib.abcnet_native_abi_version.restype = ctypes.c_int32
+        lib.abcnet_native_abi_version.argtypes = []
+        version = int(lib.abcnet_native_abi_version())
+    except AttributeError:
+        version = 1  # predates the version export
+    if version != _ABI_VERSION:
+        import warnings
+        warnings.warn(
+            f"{_LIB_PATH}: ABI version {version} != expected "
+            f"{_ABI_VERSION}; rebuild with `make -C native`. Falling "
+            "back to the numpy assembler.")
+        return None
     lib.assemble_graph.restype = ctypes.c_int32
     lib.assemble_graph.argtypes = [
         _I32P, _I32P, _I32P, _I32P, _U8P, ctypes.c_int32,
@@ -45,7 +66,7 @@ def _p(arr, typ):
 
 
 def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
-                          overshoot_cap: float = 2.0
+                          overshoot_cap: Optional[float] = None
                           ) -> Optional[Tuple]:
     """Run the C++ assembler for one image. Returns
     (atom_pos [A,2], atom_type [A], atom_charge [A], atom_hs [A],
@@ -53,6 +74,9 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
     lib = load_native()
     if lib is None:
         return None
+    if overshoot_cap is None:
+        from .assemble import OVERSHOOT_CAP  # single source of truth
+        overshoot_cap = OVERSHOOT_CAP
 
     axy = np.ascontiguousarray(peaks["atom_xy"][index], np.int32)
     at = np.ascontiguousarray(peaks["atom_type"][index], np.int32)

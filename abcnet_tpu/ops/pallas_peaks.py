@@ -22,7 +22,11 @@ path, interpret mode):
   * cells with logit <= threshold are dropped;
   * results are sorted by score descending, ties broken by flat index
     ascending (lax.top_k's stable order);
-  * invalid slots carry score -inf.
+  * invalid slots carry score -inf. Indices are only defined for
+    finite-score slots: exhausted slots repeat index 0, where lax.top_k
+    emits distinct ascending indices. Downstream masks on
+    isfinite(score), so only the finite slots are part of the parity
+    contract (and of the tests).
 """
 
 from __future__ import annotations

@@ -97,6 +97,17 @@ def compute_metrics(preds: Dict[str, jnp.ndarray],
     for k, v in _pr(bond_pred, bond_true).items():
         out[f"bond_target_{k}"] = v
 
+    # Peak-count health signals (per image): denominator starvation in
+    # the P/R ratios above is invisible once averaged — e.g. a train-mode
+    # forward whose heatmaps rarely clear the threshold quantizes
+    # precision to n/tiny-count. Surfacing predicted-vs-true peak counts
+    # makes that failure mode readable in the logs.
+    n_img = jnp.asarray(atom_true.shape[0], jnp.float32)
+    out["atom_peaks_per_img"] = (jnp.sum(atom_pred), n_img)
+    out["atom_true_per_img"] = (jnp.sum(atom_true), n_img)
+    out["bond_peaks_per_img"] = (jnp.sum(bond_pred), n_img)
+    out["bond_true_per_img"] = (jnp.sum(bond_true), n_img)
+
     out["atom_types_acc"] = _acc_at_peaks(act["atom_type"], t["atom_type"])
     out["atom_charges_acc"] = _acc_at_peaks(act["atom_charge"],
                                             t["atom_charge"])
@@ -158,10 +169,14 @@ class MeterBank:
                 self.den[k] = d
 
     def averages(self) -> Dict[str, float]:
+        """One blocking fetch; metrics whose denominator never fired are
+        OMITTED (e.g. atom_hs on an rdkit-lineage eval where no hetero
+        aromatic atom appears) — printing them as 0.0000 misreads as a
+        broken model."""
         host_num = jax.device_get(self.num)
         host_den = jax.device_get(self.den)
         return {k: float(host_num[k]) / float(host_den[k])
-                if float(host_den[k]) else 0.0 for k in host_num}
+                for k in host_num if float(host_den[k])}
 
     def reset(self) -> None:
         self.num.clear()

@@ -168,6 +168,33 @@ def train_step(state: TrainState, batch, rng, amount: float = 0.2,
     return state, total, aux["losses"], aux.get("metrics", {})
 
 
+@functools.partial(jax.jit, static_argnames=("amount",))
+def train_metrics_step(state: TrainState, batch, rng,
+                       amount: float = 0.2):
+    """Detection metrics on the TRAINING batch under eval-mode forward
+    semantics (running BN stats, no dropout).
+
+    The reference computes its train metrics on the train-mode forward
+    (train.py:145-162), which is meaningful for torch at its operating
+    point; here train-mode BN batch-stats + dropout suppress atom peaks
+    below the 0.25 threshold, quantizing precision to n/tiny-count
+    (round-2 logs: aP in {0.0, 0.5, 1.0} while eval reads 0.8955). Same
+    rng => identical augmented images as the paired train step; only the
+    forward mode differs, so the logged numbers track eval."""
+    if "image_bits" in batch:
+        images = pipeline.device_unpack_bits(batch["image_bits"], rng,
+                                             amount=amount, train=True)
+    else:
+        images = pipeline.device_preprocess(batch["image_u8"], rng,
+                                            amount=amount, train=True)
+    grid = images.shape[1] // vocab.STRIDE
+    targets = build_targets(batch, with_full_type=False, grid=grid)
+    preds = state.apply_fn({"params": state.params,
+                            "batch_stats": state.batch_stats},
+                           images, train=False)
+    return M.compute_metrics(preds, L._to_nhwc_targets(targets))
+
+
 @jax.jit
 def eval_step(state: TrainState, batch, rng):
     total, aux = loss_and_metrics(state.params, state.batch_stats,
@@ -298,11 +325,15 @@ def fit(cfg: TrainConfig, train_examples, test_examples=None,
             batch = shard_batch(host_batch, mesh)
             key, sub = jax.random.split(key)
             with_m = step % cfg.metrics_every == 0
-            state, total, losses, mets = train_step(state, batch, sub,
-                                                    amount=cfg.amount,
-                                                    with_metrics=with_m)
+            state, total, losses, _ = train_step(state, batch, sub,
+                                                 amount=cfg.amount,
+                                                 with_metrics=False)
             if with_m:
-                meters.update(mets)
+                # Eval-mode forward on the same augmented batch (see
+                # train_metrics_step) — post-update params, like the
+                # reference's post-step metric reads.
+                meters.update(train_metrics_step(state, batch, sub,
+                                                 amount=cfg.amount))
             imgs_done += cfg.batch_size
             step += 1
             if verbose and step % cfg.log_every == 0:

@@ -65,6 +65,13 @@ inline int32_t rewrite_class(int count) {
 
 extern "C" {
 
+// ABI version of this library. Bump on ANY signature change (the ctypes
+// caller verifies it at load time and falls back to the numpy path on
+// mismatch — a stale .so built for an older signature would otherwise
+// load fine and silently ignore trailing arguments on x86-64).
+// History: 1 = original assemble_graph; 2 = + overshoot_cap double.
+int32_t abcnet_native_abi_version(void) { return 2; }
+
 // Assemble one image's peaks into a molecular graph.
 //
 // Inputs (row `index` pre-sliced by the caller):
