@@ -18,6 +18,19 @@ fixed-shape XLA program over the whole batch:
     (img2smiles2.py:160-169); delta = rho * (cos w, sin w) with
     w = bin*pi/30 + pi/60 - pi/2
 
+Two head-evaluation strategies feed the same decode tail:
+
+  * dense (`extract_peaks`): all eight head maps are materialized by the
+    model and values are gathered at peaks — reference-shaped dataflow.
+  * sparse (`extract_peaks_sparse`): only the two 1-channel heatmap
+    heads run densely (NMS needs full maps); the six classification/
+    regression heads are evaluated ONLY at peak cells by gathering 3x3
+    trunk-feature windows and applying the OutConv math per cell
+    (`apply_head_sparse`). The wide heads' full maps — 360+60+60+14+3+2
+    = 499 channels at (B, 128, 128), the bulk of head FLOPs and HBM
+    traffic, and the (256,128,128,360) f32 tensor that made batch-256
+    serving OOM — never exist.
+
 Only a few KB of peak arrays ever leave the device; graph assembly
 (matching, valence fixes, MolBlock, SMILES) happens in
 infer/assemble.py on host.
@@ -58,8 +71,8 @@ class DecodeConfig:
     halo_margin: float = 1.0
     # Use the fused Pallas NMS+top-K kernel (ops/pallas_peaks.py) for
     # peak selection instead of the XLA pool/mask/top_k chain. Bit-equal
-    # results (tests/test_pallas_peaks.py); opt-in pending an on-chip
-    # benchmark.
+    # results for finite-score slots (tests/test_pallas_peaks.py);
+    # opt-in pending an on-chip benchmark.
     use_pallas_nms: bool = False
 
 
@@ -102,43 +115,79 @@ def _antipodal_keep(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(lower, keep_lower, keep_upper)
 
 
-def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
-                        threshold: float = 0.6):
-    """Fused inference pipeline: uint8 batch -> peak arrays, optionally
-    sharded over a data-parallel mesh (the multi-chip batched-inference
-    role of the reference's DataParallel forward + Pool decode,
-    multi_proc_img2smiles2.py:268-300). Images are binarized + bit-packed
-    on host (1 bit/pixel transfers); unpack runs in XLA. Returns
-    run(image_u8)."""
-    import numpy as onp
+def _decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by, b_valid, cfg):
+    """Shared bond decode tail. All inputs are per-peak gathers:
 
-    from ..data.pipeline import device_unpack_bits, pack_images
-    from ..parallel import shard_batch
+      w          (B, Kb, 60)    f32 omega logits at bond peaks
+      neigh_max  (B, Kb, 60)    max over the 9-cell/3-bin halo window,
+                                or None to disable halo suppression
+      bt_at_peak (B, Kb, 6, 60) bond-type logits at peaks
+      rho60      (B, Kb, 60)    rho head at peaks
 
-    cfg = decode_cfg or DecodeConfig()
+    Returns the flat bond_* output dict entries.
+    """
+    logit_thr = cfg.logit_threshold
 
-    @jax.jit
-    def _run(image_bits):
-        images = device_unpack_bits(image_bits, jax.random.PRNGKey(0),
-                                    train=False)
-        preds = state.apply_fn({"params": state.params,
-                                "batch_stats": state.batch_stats},
-                               images, train=False)
-        return extract_peaks(preds, cfg)
+    padded = jnp.concatenate([w[..., -1:], w, w[..., :1]], axis=-1)
+    pooled = jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max, (1, 1, 3), (1, 1, 1), "VALID")
+    local_max = (pooled == w) & (w > logit_thr)
 
-    def run(image_u8):
-        bits = pack_images(onp.asarray(image_u8), threshold)
-        if mesh is not None:
-            bits = shard_batch({"x": bits}, mesh)["x"]
-        return _run(bits)
+    if neigh_max is not None:
+        not_halo = w >= neigh_max - cfg.halo_margin
+    else:
+        not_halo = jnp.ones_like(w, dtype=bool)
 
-    return run
+    keep = local_max & not_halo & _antipodal_keep(w)
+
+    w_masked = jnp.where(keep, w, -jnp.inf)
+    o_raw, o_bin = jax.lax.top_k(w_masked, cfg.omega_per_bond)
+    o_valid = jnp.isfinite(o_raw)                   # (B, Kb, M)
+    o_score = jnp.where(o_valid, jax.nn.sigmoid(o_raw), 0.0)
+
+    bt_at_bin = jnp.take_along_axis(
+        bt_at_peak, o_bin[:, :, None, :], axis=-1).astype(jnp.float32)
+    btype = jnp.argmax(bt_at_bin, axis=2)           # (B, Kb, M)
+    rho = jnp.abs(jnp.take_along_axis(rho60, o_bin, axis=-1)).astype(
+        jnp.float32)
+
+    ang = o_bin * (np.pi / 30) + np.pi / 60 - np.pi / 2
+    dx = rho * jnp.cos(ang)
+    dy = rho * jnp.sin(ang)
+
+    Bsz = w.shape[0]
+    flat = lambda t: t.reshape(Bsz, cfg.max_bonds * cfg.omega_per_bond,
+                               *t.shape[3:])
+    bond_xy = jnp.broadcast_to(
+        jnp.stack([bx, by], axis=-1)[:, :, None, :],
+        (Bsz, cfg.max_bonds, cfg.omega_per_bond, 2))
+    bond_valid = o_valid & b_valid[..., None]
+
+    return {
+        "bond_score": flat(o_score * 1.0),
+        "bond_xy": flat(bond_xy).astype(jnp.int32),
+        "bond_delta": flat(jnp.stack([dx, dy], axis=-1)),
+        "bond_type": flat(btype).astype(jnp.int32),
+        "bond_valid": flat(bond_valid),
+    }
+
+
+def _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge, atom_hs):
+    return {
+        "atom_score": jax.nn.sigmoid(a_raw.astype(jnp.float32)),
+        "atom_xy": jnp.stack([ax, ay], axis=-1).astype(jnp.int32),
+        "atom_type": atom_type.astype(jnp.int32),
+        "atom_charge": atom_charge.astype(jnp.int32),
+        "atom_hs": atom_hs.astype(jnp.int32),
+        "atom_valid": a_valid,
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_peaks(preds: Dict[str, jnp.ndarray],
                   cfg: DecodeConfig = DecodeConfig()) -> Dict[str, jnp.ndarray]:
-    """preds: NHWC logits from the model. Returns compact peak arrays:
+    """Dense-head path. preds: NHWC logits from the model (all heads).
+    Returns compact peak arrays:
 
       atom_score   (B, Ka)      atom_xy     (B, Ka, 2)   int32
       atom_type    (B, Ka)      atom_charge (B, Ka)      atom_hs (B, Ka)
@@ -162,7 +211,6 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
     a_raw, ax, ay, a_valid = _topk_logit_peaks(a_logit, cfg.max_atoms,
                                                logit_thr,
                                                cfg.use_pallas_nms)
-    a_score = jax.nn.sigmoid(a_raw)
     b_idx = jnp.arange(a_logit.shape[0])[:, None]
     atom_type = jnp.argmax(preds["atom_type"], axis=-1)[b_idx, ax, ay]
     atom_charge = jnp.argmax(preds["atom_charge"], axis=-1)[b_idx, ax, ay]
@@ -174,12 +222,9 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
                                            logit_thr,
                                            cfg.use_pallas_nms)
 
-    # ---- omega bins at bond peaks (logit domain) ----
-    w = preds["bond_omega"][b_idx, bx, by]          # (B, Kb, 60)
-    padded = jnp.concatenate([w[..., -1:], w, w[..., :1]], axis=-1)
-    pooled = jax.lax.reduce_window(
-        padded, -jnp.inf, jax.lax.max, (1, 1, 3), (1, 1, 1), "VALID")
-    local_max = (pooled == w) & (w > logit_thr)
+    # ---- omega bins at bond peaks (logit domain; upcast the gathered
+    # slice — the full bf16 map is never upcast) ----
+    w = preds["bond_omega"][b_idx, bx, by].astype(jnp.float32)
 
     # Cross-cell halo suppression (beyond the reference's two-stage
     # NMS): the encoder smears each bond record over a 3x3x3
@@ -194,59 +239,271 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
         di = jnp.arange(-1, 2)
         nx = jnp.clip(bx[..., None, None] + di[:, None], 0, G_ - 1)
         ny = jnp.clip(by[..., None, None] + di[None, :], 0, G_ - 1)
-        w9 = preds["bond_omega"][b_idx[..., None, None], nx, ny]
+        w9 = preds["bond_omega"][b_idx[..., None, None], nx, ny].astype(
+            jnp.float32)
         w9 = w9.reshape(w.shape[0], w.shape[1], 9, NO)  # (B, Kb, 9, 60)
         w9p = jnp.concatenate([w9[..., -1:], w9, w9[..., :1]], axis=-1)
         neigh = jax.lax.reduce_window(
             w9p, -jnp.inf, jax.lax.max, (1, 1, 1, 3), (1, 1, 1, 1),
             "VALID")
         neigh_max = neigh.max(axis=2)                   # (B, Kb, 60)
-        not_halo = w >= neigh_max - cfg.halo_margin
     else:
-        not_halo = jnp.ones_like(w, dtype=bool)
+        neigh_max = None
 
-    keep = local_max & not_halo & _antipodal_keep(w)
-
-    w_masked = jnp.where(keep, w, -jnp.inf)
-    o_raw, o_bin = jax.lax.top_k(w_masked, cfg.omega_per_bond)
-    o_valid = jnp.isfinite(o_raw)                   # (B, Kb, M)
-    o_score = jnp.where(o_valid, jax.nn.sigmoid(o_raw), 0.0)
-
-    # ---- per-(peak, bin) lookups (gather first, reduce on the gathers —
-    # no full-map argmax materialization) ----
     bt = preds["bond_type"]
     bt = bt.reshape(bt.shape[:-1] + (NB, NO))       # (B, G, G, 6, 60)
     bt_at_peak = bt[b_idx, bx, by]                  # (B, Kb, 6, 60)
-    bt_at_bin = jnp.take_along_axis(
-        bt_at_peak, o_bin[:, :, None, :], axis=-1)  # (B, Kb, 6, M)
-    btype = jnp.argmax(bt_at_bin, axis=2)           # (B, Kb, M)
-    bxe = bx[..., None]
-    bye = by[..., None]
-    b_idx3 = b_idx[..., None]
-    rho = jnp.abs(preds["bond_rho"][b_idx3, bxe, bye, o_bin])
+    rho60 = preds["bond_rho"][b_idx, bx, by]        # (B, Kb, 60)
 
-    ang = o_bin * (np.pi / 30) + np.pi / 60 - np.pi / 2
-    dx = rho * jnp.cos(ang)
-    dy = rho * jnp.sin(ang)
+    out = _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge,
+                        atom_hs)
+    out.update(_decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by,
+                             b_valid, cfg))
+    return out
 
-    Bsz = b_logit.shape[0]
-    flat = lambda t: t.reshape(Bsz, cfg.max_bonds * cfg.omega_per_bond,
-                               *t.shape[3:])
-    bond_xy = jnp.broadcast_to(
-        jnp.stack([bx, by], axis=-1)[:, :, None, :],
-        (Bsz, cfg.max_bonds, cfg.omega_per_bond, 2))
-    bond_valid = o_valid & b_valid[..., None]
 
+# ---------------------------------------------------------------------------
+# Sparse head evaluation: OutConv applied at gathered peak cells only.
+# ---------------------------------------------------------------------------
+
+def gather_windows(feats: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                   radius: int) -> jnp.ndarray:
+    """Gather (2r+1)x(2r+1) feature windows centered at integer cells.
+
+    feats: (B, G, G, C); xs, ys: (B, K). Returns (B, K, w, w, C) with
+    zeros outside the map — matching the SAME zero padding of the dense
+    3x3 head convs, so per-cell evaluation is exact at borders too.
+    """
+    w = 2 * radius + 1
+    di = jnp.arange(-radius, radius + 1)
+    gx = xs[:, :, None, None] + di[None, None, :, None]   # (B, K, w, 1)
+    gy = ys[:, :, None, None] + di[None, None, None, :]   # (B, K, 1, w)
+    gx = jnp.broadcast_to(gx, xs.shape + (w, w))
+    gy = jnp.broadcast_to(gy, xs.shape + (w, w))
+    Gh, Gw = feats.shape[1], feats.shape[2]
+    inb = (gx >= 0) & (gx < Gh) & (gy >= 0) & (gy < Gw)
+    gxc = jnp.clip(gx, 0, Gh - 1)
+    gyc = jnp.clip(gy, 0, Gw - 1)
+    b_idx = jnp.arange(feats.shape[0])[:, None, None, None]
+    win = feats[b_idx, gxc, gyc]                          # (B, K, w, w, C)
+    return win * inb[..., None].astype(win.dtype)
+
+
+def apply_head_sparse(head_params: Dict, head_stats: Dict,
+                      windows: jnp.ndarray, dtype=jnp.float32
+                      ) -> jnp.ndarray:
+    """Evaluate one OutConv head (models/unet.py:OutConv — conv3x3 ->
+    BN(eval) -> LeakyReLU -> conv1x1; dropout is identity in eval) at
+    gathered cells.
+
+    head_params: params subtree {Conv_0, BatchNorm_0, Conv_1};
+    head_stats: batch_stats subtree {BatchNorm_0: {mean, var}};
+    windows: (B, K, 3, 3, C) feature windows (gather_windows radius 1).
+    Returns (B, K, width) f32 logits — same math as the dense conv at
+    those cells (conv in `dtype`, BN in f32, reference unet.py:63-74).
+    """
+    k0 = head_params["Conv_0"]["kernel"].astype(dtype)      # (3,3,C,D)
+    b0 = head_params["Conv_0"]["bias"].astype(dtype)
+    x = jnp.einsum("bkijc,ijcd->bkd", windows.astype(dtype), k0) + b0
+    bn = head_params["BatchNorm_0"]
+    st = head_stats["BatchNorm_0"]
+    x = x.astype(jnp.float32)
+    x = (x - st["mean"]) * jax.lax.rsqrt(st["var"] + 1e-5)
+    x = x * bn["scale"] + bn["bias"]
+    x = jax.nn.leaky_relu(x, negative_slope=0.01).astype(dtype)
+    k1 = head_params["Conv_1"]["kernel"][0, 0].astype(dtype)  # (D, W)
+    b1 = head_params["Conv_1"]["bias"].astype(dtype)
+    return (jnp.einsum("bkd,dw->bkw", x, k1) + b1).astype(jnp.float32)
+
+
+DENSE_HEADS_SPARSE_MODE = ("atom_target", "bond_target")
+
+_ATOM_HEAD_NAMES = ("out_atom_type", "out_atom_charge", "out_atom_hs")
+_ATOM_HEAD_WIDTHS = (14, 3, 2)
+_BOND_HEAD_NAMES = ("out_bond_omega", "out_bond_type", "out_bond_rho")
+_BOND_HEAD_WIDTHS = (60, 360, 60)
+
+
+def fuse_head_params(params: Dict, stats: Dict, names, widths) -> Dict:
+    """Concatenate several OutConv heads into ONE evaluation: stage-1
+    3x3 kernels stacked along the output-feature axis, BN vectors
+    concatenated, stage-2 1x1 kernels arranged block-diagonally.
+
+    Motivation beyond MXU efficiency (one big contraction beats six
+    skinny ones): the axon TPU backend MISCOMPILES programs containing
+    many small bf16 window-einsums — per-head evaluation returned
+    garbage omega logits under jit (correct eagerly, correct on CPU,
+    correct in f32, correct fused; see tests/test_sparse_heads.py for
+    the CPU parity pins). The fused form is both the fast path and the
+    workaround.
+    """
+    cat = lambda path: jnp.concatenate(
+        [path(n).astype(jnp.float32) for n in names], axis=-1)
+    k1 = jax.scipy.linalg.block_diag(
+        *[params[n]["Conv_1"]["kernel"][0, 0].astype(jnp.float32)
+          for n in names])
     return {
-        "atom_score": a_score,
-        "atom_xy": jnp.stack([ax, ay], axis=-1).astype(jnp.int32),
-        "atom_type": atom_type.astype(jnp.int32),
-        "atom_charge": atom_charge.astype(jnp.int32),
-        "atom_hs": atom_hs.astype(jnp.int32),
-        "atom_valid": a_valid,
-        "bond_score": flat(o_score * 1.0),
-        "bond_xy": flat(bond_xy).astype(jnp.int32),
-        "bond_delta": flat(jnp.stack([dx, dy], axis=-1)),
-        "bond_type": flat(btype).astype(jnp.int32),
-        "bond_valid": flat(bond_valid),
+        "k0": cat(lambda n: params[n]["Conv_0"]["kernel"]),
+        "b0": cat(lambda n: params[n]["Conv_0"]["bias"]),
+        "scale": cat(lambda n: params[n]["BatchNorm_0"]["scale"]),
+        "bias": cat(lambda n: params[n]["BatchNorm_0"]["bias"]),
+        "mean": cat(lambda n: stats[n]["BatchNorm_0"]["mean"]),
+        "var": cat(lambda n: stats[n]["BatchNorm_0"]["var"]),
+        "k1": k1,
+        "b1": cat(lambda n: params[n]["Conv_1"]["bias"]),
+        "widths": tuple(widths),
     }
+
+
+def apply_heads_fused(fz: Dict, windows: jnp.ndarray, dtype=jnp.float32):
+    """Evaluate a fused head bundle (fuse_head_params) at gathered 3x3
+    windows. Returns one (B, K, width) f32 logit array per head, in
+    bundle order. Same per-head math as apply_head_sparse."""
+    x = jnp.einsum("bkijc,ijcd->bkd", windows.astype(dtype),
+                   fz["k0"].astype(dtype)) + fz["b0"].astype(dtype)
+    x = x.astype(jnp.float32)
+    x = (x - fz["mean"]) * jax.lax.rsqrt(fz["var"] + 1e-5)
+    x = x * fz["scale"] + fz["bias"]
+    x = jax.nn.leaky_relu(x, negative_slope=0.01).astype(dtype)
+    out = (jnp.einsum("bkd,dw->bkw", x, fz["k1"].astype(dtype))
+           + fz["b1"].astype(dtype)).astype(jnp.float32)
+    res = []
+    off = 0
+    for wd in fz["widths"]:
+        res.append(out[..., off:off + wd])
+        off += wd
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def extract_peaks_sparse(heatmaps: Dict[str, jnp.ndarray],
+                         feats: jnp.ndarray, params: Dict,
+                         batch_stats: Dict,
+                         cfg: DecodeConfig = DecodeConfig(),
+                         dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Sparse-head path. `heatmaps` holds the two dense 1-channel heads
+    (atom_target, bond_target); `feats` is the shared (B, G, G, 128)
+    trunk output (UNet __call__ with dense_heads=DENSE_HEADS_SPARSE_MODE,
+    return_features=True); `params`/`batch_stats` are the model variable
+    trees (for the out_* head weights).
+
+    Exactness: identical decode semantics to `extract_peaks` up to
+    float reassociation in the per-cell einsum vs the dense conv, with
+    one documented border divergence — halo suppression compares
+    against TRUE out-of-map neighbors (masked to -inf) where the dense
+    path's index clip duplicates edge cells; molecules never touch the
+    canvas border (generator margin rejection), so decoded graphs agree
+    (tests/test_sparse_heads.py asserts agreement on rendered sets).
+    """
+    logit_thr = cfg.logit_threshold
+    fz_atom = fuse_head_params(params, batch_stats, _ATOM_HEAD_NAMES,
+                               _ATOM_HEAD_WIDTHS)
+    fz_bond = fuse_head_params(params, batch_stats, _BOND_HEAD_NAMES,
+                               _BOND_HEAD_WIDTHS)
+
+    a_logit = heatmaps["atom_target"][..., 0]
+    a_raw, ax, ay, a_valid = _topk_logit_peaks(a_logit, cfg.max_atoms,
+                                               logit_thr,
+                                               cfg.use_pallas_nms)
+    awin = gather_windows(feats, ax, ay, 1)               # (B,Ka,3,3,C)
+    at, ac, ah = apply_heads_fused(fz_atom, awin, dtype)
+    atom_type = jnp.argmax(at, axis=-1)
+    atom_charge = jnp.argmax(ac, axis=-1)
+    atom_hs = jnp.argmax(ah, axis=-1)
+
+    b_logit = heatmaps["bond_target"][..., 0]
+    _, bx, by, b_valid = _topk_logit_peaks(b_logit, cfg.max_bonds,
+                                           logit_thr,
+                                           cfg.use_pallas_nms)
+    B, Kb = bx.shape
+
+    if cfg.halo_margin > 0:
+        # Omega head at the peak AND its 8 neighbors (the halo filter
+        # needs omega over the 3x3 cell neighborhood): one 5x5 window
+        # gather, the nine shifted 3x3 sub-windows folded into the K
+        # axis for a single fused evaluation.
+        fz_omega = fuse_head_params(params, batch_stats,
+                                    ("out_bond_omega",), (60,))
+        bwin5 = gather_windows(feats, bx, by, 2)          # (B,Kb,5,5,C)
+        Gh, Gw = feats.shape[1], feats.shape[2]
+        subs = []
+        valids = []
+        for dx_ in (-1, 0, 1):
+            for dy_ in (-1, 0, 1):
+                subs.append(bwin5[:, :, dx_ + 1:dx_ + 4,
+                                  dy_ + 1:dy_ + 4, :])
+                nx = bx + dx_
+                ny = by + dy_
+                valids.append((nx >= 0) & (nx < Gh) & (ny >= 0)
+                              & (ny < Gw))
+        win9 = jnp.stack(subs, axis=2).reshape(B, Kb * 9, 3, 3, -1)
+        (w9f,) = apply_heads_fused(fz_omega, win9, dtype)
+        w9 = w9f.reshape(B, Kb, 9, NO)
+        v9 = jnp.stack(valids, axis=2)[..., None]         # (B,Kb,9,1)
+        w = w9[:, :, 4]                                   # center cell
+        w9 = jnp.where(v9, w9, -jnp.inf)
+        w9p = jnp.concatenate([w9[..., -1:], w9, w9[..., :1]], axis=-1)
+        neigh = jax.lax.reduce_window(
+            w9p, -jnp.inf, jax.lax.max, (1, 1, 1, 3), (1, 1, 1, 1),
+            "VALID")
+        neigh_max = neigh.max(axis=2)                     # (B,Kb,60)
+        bwin = bwin5[:, :, 1:4, 1:4, :]
+        _, btf, rho60 = apply_heads_fused(fz_bond, bwin, dtype)
+    else:
+        bwin = gather_windows(feats, bx, by, 1)
+        w, btf, rho60 = apply_heads_fused(fz_bond, bwin, dtype)
+        neigh_max = None
+
+    bt_at_peak = btf.reshape(B, Kb, NB, NO)
+
+    out = _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge,
+                        atom_hs)
+    out.update(_decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by,
+                             b_valid, cfg))
+    return out
+
+
+def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
+                        threshold: float = 0.6, sparse: bool = True):
+    """Fused inference pipeline: uint8 batch -> peak arrays, optionally
+    sharded over a data-parallel mesh (the multi-chip batched-inference
+    role of the reference's DataParallel forward + Pool decode,
+    multi_proc_img2smiles2.py:268-300). Images are binarized + bit-packed
+    on host (1 bit/pixel transfers); unpack runs in XLA.
+
+    sparse=True (default) evaluates the six wide heads only at peak
+    cells (see extract_peaks_sparse) — same decoded graphs, ~1/3 less
+    model FLOPs, and batch >=256 fits in HBM. Returns run(image_u8)."""
+    import numpy as onp
+
+    from ..data.pipeline import device_unpack_bits, pack_images
+    from ..parallel import shard_batch
+
+    cfg = decode_cfg or DecodeConfig()
+    model_dtype = getattr(state.apply_fn, "__self__", None)
+    # state.apply_fn is UNet.apply (bound); recover the module dtype for
+    # the sparse per-cell math. Falls back to bf16 (production).
+    dtype = getattr(model_dtype, "dtype", jnp.bfloat16)
+
+    @jax.jit
+    def _run(image_bits):
+        images = device_unpack_bits(image_bits, jax.random.PRNGKey(0),
+                                    train=False)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if sparse:
+            heatmaps, feats = state.apply_fn(
+                variables, images, train=False,
+                dense_heads=DENSE_HEADS_SPARSE_MODE, return_features=True)
+            return extract_peaks_sparse(heatmaps, feats, state.params,
+                                        state.batch_stats, cfg, dtype)
+        preds = state.apply_fn(variables, images, train=False)
+        return extract_peaks(preds, cfg)
+
+    def run(image_u8):
+        bits = pack_images(onp.asarray(image_u8), threshold)
+        if mesh is not None:
+            bits = shard_batch({"x": bits}, mesh)["x"]
+        return _run(bits)
+
+    return run

@@ -116,7 +116,17 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, train: bool = False,
+                 dense_heads: Sequence[str] = None,
+                 return_features: bool = False):
+        """dense_heads: if given, only these heads are computed densely
+        (the others' OutConv params stay untouched in the variables dict
+        — flax ignores unused entries). return_features additionally
+        returns the shared (B, G, G, 128) trunk feature map so callers
+        can evaluate the remaining heads sparsely at peak cells
+        (infer/decode.py:apply_head_sparse) — the wide heads (360/60ch)
+        never materialize as full maps, which is what capped serving at
+        batch 128 (a (256,128,128,360) f32 head output is ~6 GB)."""
         x = x.astype(self.dtype)
         # Learned homoscedastic uncertainty weights (unet.py:82).
         self.param("s", lambda key: jax.random.normal(key, (10,)) / 100.0)
@@ -140,9 +150,18 @@ class UNet(nn.Module):
         names = HEAD_NAMES if len(self.heads) == len(HEAD_NAMES) else [
             f"head{i}" for i in range(len(self.heads))]
         for name, width in zip(names, self.heads):
+            if dense_heads is not None and name not in dense_heads:
+                continue
+            # Heads keep the compute dtype (bf16 in production): the
+            # values are bf16-precision either way (the 1x1 conv runs in
+            # self.dtype), and an f32 cast here materializes the wide
+            # 360/60-ch maps at double the HBM cost — consumers upcast
+            # after their gathers instead (ops/losses.py:activations,
+            # infer/decode.py).
             out[name] = OutConv(128, width, dtype=self.dtype,
-                                name=f"out_{name}")(y, train).astype(
-                                    jnp.float32)
+                                name=f"out_{name}")(y, train)
+        if return_features:
+            return out, y
         return out
 
 

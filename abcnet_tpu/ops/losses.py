@@ -41,19 +41,22 @@ def _clamp(p):
 
 
 def activations(preds: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Head activations (train.py:95-105). preds are NHWC logits; outputs
-    keep NHWC with class axes last (bond_type -> (B,H,W,6,60))."""
+    """Head activations (train.py:95-105). preds are NHWC logits
+    (possibly bf16 straight off the heads — upcast here so the loss/
+    metric math runs in f32 exactly as before); outputs keep NHWC with
+    class axes last (bond_type -> (B,H,W,6,60))."""
+    f32 = lambda name: preds[name].astype(jnp.float32)
     out = {}
-    out["atom_target"] = _clamp(jax.nn.sigmoid(preds["atom_target"]))
-    out["atom_type"] = _clamp(jax.nn.softmax(preds["atom_type"], axis=-1))
-    out["atom_charge"] = _clamp(jax.nn.softmax(preds["atom_charge"], axis=-1))
-    out["atom_hs"] = _clamp(jax.nn.softmax(preds["atom_hs"], axis=-1))
-    out["bond_target"] = _clamp(jax.nn.sigmoid(preds["bond_target"]))
-    bt = preds["bond_type"]
+    out["atom_target"] = _clamp(jax.nn.sigmoid(f32("atom_target")))
+    out["atom_type"] = _clamp(jax.nn.softmax(f32("atom_type"), axis=-1))
+    out["atom_charge"] = _clamp(jax.nn.softmax(f32("atom_charge"), axis=-1))
+    out["atom_hs"] = _clamp(jax.nn.softmax(f32("atom_hs"), axis=-1))
+    out["bond_target"] = _clamp(jax.nn.sigmoid(f32("bond_target")))
+    bt = f32("bond_type")
     bt = bt.reshape(bt.shape[:-1] + (NB, NO))
     out["bond_type"] = _clamp(jax.nn.softmax(bt, axis=-2))
-    out["bond_omega"] = _clamp(jax.nn.sigmoid(preds["bond_omega"]))
-    out["bond_rho"] = jnp.abs(preds["bond_rho"])
+    out["bond_omega"] = _clamp(jax.nn.sigmoid(f32("bond_omega")))
+    out["bond_rho"] = jnp.abs(f32("bond_rho"))
     return out
 
 
@@ -185,7 +188,7 @@ def fused_bond_type_loss(bond_type_logits: jnp.ndarray,
         # (G, G, 6, 60) tensor — ~1.5 GB/batch of pure bandwidth that
         # profiled at ~157 ms of the train step; the loss only ever
         # reads these cells. Identical math.
-        vecs = lg[hxc, hyc, :, ho]                               # (Bn,27,6)
+        vecs = lg[hxc, hyc, :, ho].astype(jnp.float32)           # (Bn,27,6)
         lp_vec = jax.nn.log_softmax(vecs, axis=-1)
         lp = jnp.take_along_axis(lp_vec, c[:, None, None],
                                  axis=-1)[..., 0]                # (Bn,27)

@@ -37,6 +37,7 @@ Prints ONE JSON line:
    "vs_baseline": N, ...diagnostics}
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -44,11 +45,22 @@ import sys
 import time
 
 REF_BASELINE_IPS = 55.0
-BATCH = 64
 WARMUP = 3
 ITERS = 20
 N_BUFFERS = 4            # distinct pre-staged input batches, rotated
 TPU_PEAK_TFLOPS = 394.0  # v5e bf16 peak per chip (upper sanity bound)
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=64,
+                 help="inference batch (headline stays 64 for the "
+                      "BASELINE.json comparison; larger for sweeps)")
+_ap.add_argument("--train-batch", type=int, default=64)
+_ap.add_argument("--dense", action="store_true",
+                 help="A/B: dense head maps instead of the sparse "
+                      "peak-cell head evaluation")
+_ap.add_argument("--skip-train", action="store_true")
+_ARGS = _ap.parse_args()
+BATCH = _ARGS.batch
 
 
 def _other_busy_python() -> int:
@@ -109,7 +121,9 @@ def main() -> None:
     import numpy as np
 
     from abcnet_tpu.data import pipeline
-    from abcnet_tpu.infer.decode import extract_peaks
+    from abcnet_tpu.infer.decode import (DENSE_HEADS_SPARSE_MODE,
+                                         DecodeConfig, extract_peaks,
+                                         extract_peaks_sparse)
     from abcnet_tpu.models.unet import UNet, init_unet
     from abcnet_tpu.train import trainer
 
@@ -162,8 +176,19 @@ def main() -> None:
         images = pipeline.device_unpack_bits(image_bits,
                                              jax.random.PRNGKey(0),
                                              train=False)
-        preds = model.apply(variables, images, train=False)
-        peaks = extract_peaks(preds)
+        if _ARGS.dense:
+            preds = model.apply(variables, images, train=False)
+            peaks = extract_peaks(preds)
+        else:
+            # Sparse path (default): wide heads evaluated at peak cells
+            # only — see infer/decode.py:extract_peaks_sparse.
+            heatmaps, feats = model.apply(
+                variables, images, train=False,
+                dense_heads=DENSE_HEADS_SPARSE_MODE,
+                return_features=True)
+            peaks = extract_peaks_sparse(
+                heatmaps, feats, variables["params"],
+                variables["batch_stats"], DecodeConfig(), jnp.bfloat16)
         # Real runtime-dependent carry (not constant-foldable): low bit
         # of the summed atom scores. XORing it into the packed bytes
         # flips at most the low bit-plane — workload identical.
@@ -252,26 +277,29 @@ def main() -> None:
     # the host assembles batch i — throughput set by the slower stage.
     e2e_ips = BATCH / max(pipe_dt / ITERS, assemble_dt)
 
-    # ---- train-step benchmark (batch 64 fwd+bwd+Adam+targets) ----
-    cfg = trainer.TrainConfig(batch_size=BATCH)
-    state = trainer.create_state(cfg)
-    tbuffers = [pipeline.synthetic_batch(BATCH, seed=100 + s)
-                for s in range(2)]
-    tbuffers = [jax.device_put(b) for b in tbuffers]
-    key = jax.random.PRNGKey(0)
+    # ---- train-step benchmark (fwd+bwd+Adam+targets) ----
+    TB = _ARGS.train_batch
+    train_ips, train_med = 0.0, 0.0
+    if not _ARGS.skip_train:
+        cfg = trainer.TrainConfig(batch_size=TB)
+        state = trainer.create_state(cfg)
+        tbuffers = [pipeline.synthetic_batch(TB, seed=100 + s)
+                    for s in range(2)]
+        tbuffers = [jax.device_put(b) for b in tbuffers]
+        key = jax.random.PRNGKey(0)
 
-    train_times = []
-    for i in range(6):
-        key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        state, total, losses, mets = trainer.train_step(
-            state, tbuffers[i % 2], sub, amount=cfg.amount,
-            with_metrics=False)
-        float(total)  # value fetch: see note above
-        if i >= 2:  # first iterations include compile
-            train_times.append(time.perf_counter() - t0)
-    train_med = sorted(train_times)[len(train_times) // 2]
-    train_ips = BATCH / train_med
+        train_times = []
+        for i in range(6):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, total, losses, mets = trainer.train_step(
+                state, tbuffers[i % 2], sub, amount=cfg.amount,
+                with_metrics=False)
+            float(total)  # value fetch: see note above
+            if i >= 2:  # first iterations include compile
+                train_times.append(time.perf_counter() - t0)
+        train_med = sorted(train_times)[len(train_times) // 2]
+        train_ips = TB / train_med
 
     print(json.dumps({
         "metric": "img2smiles_batch64_inference_throughput",
@@ -288,6 +316,9 @@ def main() -> None:
         "iter_ms_mean": round(sum(times) / len(times) * 1e3, 2),
         "train_step_ips": round(train_ips, 1),
         "train_step_ms": round(train_med * 1e3, 1),
+        "train_batch": TB,
+        "batch": BATCH,
+        "decode_mode": "dense" if _ARGS.dense else "sparse",
         "tunnel_rtt_ms": round(rtt_ms, 1),
         "contended_procs": contended,
     }))

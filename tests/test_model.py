@@ -65,8 +65,11 @@ def test_bf16_compute_path():
                           input_shape=(1, 128, 128, 1))
     x = jnp.ones((1, 128, 128, 1))
     out = model.apply(variables, x, train=False)
-    assert out["atom_target"].dtype == jnp.float32  # heads cast back
-    assert np.isfinite(np.asarray(out["atom_target"])).all()
+    # Heads keep the compute dtype (consumers upcast after gathers —
+    # an f32 cast here would double the wide heads' HBM footprint).
+    assert out["atom_target"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out["atom_target"],
+                                  dtype=np.float32)).all()
 
 
 def test_cbam_unet_param_count():
