@@ -141,7 +141,8 @@ def _decorate_stereo(mol: Mol, rng: random.Random) -> None:
 def generate_sample(rng: random.Random, size: int = 512,
                     mode: str = "mixed",
                     max_layout_tries: int = 3,
-                    smiles: Optional[str] = None) -> Optional[Sample]:
+                    smiles: Optional[str] = None,
+                    max_atoms: Optional[int] = None) -> Optional[Sample]:
     """Generate one (image, labels, smiles) sample, or None on rejection.
 
     smiles=None draws a random molecule; a given SMILES renders that
@@ -165,7 +166,15 @@ def generate_sample(rng: random.Random, size: int = 512,
         except Exception:
             return None
     else:
-        mol = random_molecule(rng)
+        # max_atoms caps random-molecule complexity — the
+        # "reference-conditions" configuration uses drug-like ChEMBL
+        # heavy-atom stats (the reference trains on renders of real
+        # ChEMBL molecules, rdkit_img_generate.py:221, mean ~27 heavy
+        # atoms) instead of this generator's default 8-40 range.
+        if max_atoms is not None:
+            mol = random_molecule(rng, max_atoms=max_atoms)
+        else:
+            mol = random_molecule(rng)
     perceive_aromaticity(mol)
 
     if mode == "mixed":

@@ -140,15 +140,16 @@ def _graph_to_smiles_once(types, charges, positions, hs, bond_pairs_1b,
 
 
 def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
-                           overshoot_cap: float = OVERSHOOT_CAP
-                           ) -> Optional[str]:
+                           overshoot_cap: float = OVERSHOOT_CAP,
+                           subcell: bool = True) -> Optional[str]:
     """C++ fast path: graph assembly in native code (native/assemble.cpp),
     MolBlock/SMILES in the chem stack. Falls back to the numpy path when
     the shared library is not built."""
     from .native import assemble_graph_native, load_native
     if load_native() is None:
-        return assemble_smiles(peaks, index, overshoot_cap=overshoot_cap)
-    out = assemble_graph_native(peaks, index, overshoot_cap)
+        return assemble_smiles(peaks, index, overshoot_cap=overshoot_cap,
+                               subcell=subcell)
+    out = assemble_graph_native(peaks, index, overshoot_cap, subcell)
     if out is None:
         return None
     pos, a_type, a_charge, a_hs, bonds, b_orders = out
@@ -163,7 +164,8 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
 def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
                     verbose: bool = False,
                     midpoint_check: Optional[float] = None,
-                    overshoot_cap: float = OVERSHOOT_CAP) -> Optional[str]:
+                    overshoot_cap: float = OVERSHOOT_CAP,
+                    subcell: bool = True) -> Optional[str]:
     """Decode one image's peaks (row `index` of the batch arrays).
 
     midpoint_check: optional grid-unit threshold reproducing the
@@ -172,11 +174,18 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
     peak (multi_proc_img2smiles2.py:160-162 uses 7 px = 1.75 units).
     overshoot_cap: along-axis overshoot tolerance cap (see
     OVERSHOOT_CAP above); pass 0 for exact reference matching.
+    subcell: when the peaks carry atom_sub/bond_sub parabolic offsets
+    (infer/decode.py:subcell_offsets), dedup distances, endpoint
+    matching and midpoint checks run on the refined coordinates;
+    MolBlock/stereo coordinates stay integer cells (the encoder's
+    quantization — generate.py:237-246). False (or peaks without the
+    arrays) = exact reference integer-cell matching.
     """
     av = peaks["atom_valid"][index]
     bv = peaks["bond_valid"][index]
     if not av.any() or not bv.any():
         return None
+    use_sub = subcell and "atom_sub" in peaks
 
     # -- atoms: reference iterates nonzero() in row-major scan order and
     # dedups at d^2 < 4 keeping the first (img2smiles2.py:177-191).
@@ -184,24 +193,32 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
     a_type = peaks["atom_type"][index][av]
     a_charge = peaks["atom_charge"][index][av]
     a_hs = peaks["atom_hs"][index][av]
+    amxy = axy.astype(np.float64)
+    if use_sub:
+        amxy = amxy + np.asarray(peaks["atom_sub"][index][av], np.float64)
     order = np.lexsort((axy[:, 1], axy[:, 0]))
 
-    apos: List[np.ndarray] = []
+    apos: List[np.ndarray] = []        # integer cells (MolBlock coords)
+    mpos: List[np.ndarray] = []        # match coords (refined)
     types: List[str] = []
     charges: List[int] = []
     hs: List[int] = []
     for i in order:
-        p = axy[i].astype(np.float64)
-        if apos and min(((np.asarray(apos) - p) ** 2).sum(-1)) < 4:
+        m = amxy[i]
+        if mpos and min(((np.asarray(mpos) - m) ** 2).sum(-1)) < 4:
             continue
-        apos.append(p)
+        apos.append(axy[i].astype(np.float64))
+        mpos.append(m)
         types.append(vocab.ATOM_DEVOCAB[int(a_type[i])])
         charges.append(vocab.CHARGE_DEVOCAB[int(a_charge[i])])
         hs.append(int(a_hs[i]))
-    atoms_position = np.asarray(apos)                    # (A, 2)
+    atoms_position = np.asarray(mpos)                    # (A, 2) match
+    atoms_cell = np.asarray(apos)                        # (A, 2) int
 
     # -- bonds --
     bxy = peaks["bond_xy"][index][bv].astype(np.float64)  # (Bn, 2)
+    if use_sub:
+        bxy = bxy + np.asarray(peaks["bond_sub"][index][bv], np.float64)
     bdelta = peaks["bond_delta"][index][bv].astype(np.float64)
     btype = peaks["bond_type"][index][bv]
     if len(bxy) == 0:
@@ -274,7 +291,7 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
         if i in used:
             final_types.append(types[i])
             final_charges.append(charges[i])
-            final_pos.append(list(atoms_position[i]))
+            final_pos.append(list(atoms_cell[i]))
             final_hs.append(hs[i])
             k += 1
     bond_pairs_1b = [[corresponding[x], corresponding[y]]
@@ -284,19 +301,24 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
 
 
 def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
-                   native: bool = True) -> List[Optional[str]]:
+                   native: bool = True,
+                   subcell: bool = True) -> List[Optional[str]]:
     """Decode every image in a batch of peak arrays (host numpy).
 
     native=True uses the C++ assembler when built (falls back
     transparently). processes > 1 fans images out over a process pool —
     the multi_proc_img2smiles2.py Pool(32) role; with the on-device peak
-    reduction the serial path is usually fast enough.
+    reduction the serial path is usually fast enough. subcell=False
+    ignores any atom_sub/bond_sub refinement arrays (reference
+    integer-cell matching).
     """
     host = {k: np.asarray(v) for k, v in peaks.items()}
     n = host["atom_valid"].shape[0]
     fn = assemble_smiles_native if native else assemble_smiles
     if processes and processes > 1 and n > 1:
+        import functools
         import multiprocessing as mp
+        fn = functools.partial(fn, subcell=subcell)
         with mp.get_context("spawn").Pool(processes) as pool:
             return pool.starmap(fn, [(host, i) for i in range(n)])
-    return [fn(host, i) for i in range(n)]
+    return [fn(host, i, subcell=subcell) for i in range(n)]

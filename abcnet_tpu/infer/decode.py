@@ -74,6 +74,18 @@ class DecodeConfig:
     # results for finite-score slots (tests/test_pallas_peaks.py);
     # opt-in pending an on-chip benchmark.
     use_pallas_nms: bool = False
+    # Parabolic sub-cell peak refinement: emit atom_sub / bond_sub
+    # fractional offsets estimated from the heatmap logit surface around
+    # each peak (the encoder quantizes positions to int(px)//stride,
+    # encode.py:89-90 — near a cell boundary the model's mass splits
+    # over the two cells, and the logit parabola recovers the true
+    # sub-cell position). Consumed by the host matcher
+    # (infer/assemble.py) for bond-endpoint matching only; MolBlock /
+    # stereo coordinates stay integer cells so GT and decode keep
+    # evaluating orientation functions on identically quantized
+    # coordinates (data/generate.py:237-246). Documented improvement
+    # over the reference's integer-cell matching (img2smiles2.py:193).
+    subcell: bool = True
 
 
 def _topk_logit_peaks(logit: jnp.ndarray, k: int, threshold: float,
@@ -115,7 +127,36 @@ def _antipodal_keep(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(lower, keep_lower, keep_upper)
 
 
-def _decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by, b_valid, cfg):
+def subcell_offsets(logit: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Per-axis parabolic sub-cell refinement at integer peak cells.
+
+    logit: (B, G, G) heatmap logits; xs, ys: (B, K) peak cells.
+    Fits a 1-D parabola through (left, center, right) logits on each
+    axis and returns (B, K, 2) fractional offsets clipped to +-0.49
+    (the center is a local max after NMS, so the denominator
+    2c - l - r >= 0; the clip bounds keep cell + offset rounding back
+    to the same cell). Border cells clamp to the edge value, which
+    drives the offset to +-0.5 -> clipped; molecules never touch the
+    canvas border (generator margin rejection), so this is inert."""
+    G = logit.shape[-1]
+    b_idx = jnp.arange(logit.shape[0])[:, None]
+
+    def axis_off(lo, c, hi):
+        denom = 2.0 * c - lo - hi
+        return jnp.clip(0.5 * (hi - lo) / jnp.maximum(denom, 1e-6),
+                        -0.49, 0.49)
+
+    c = logit[b_idx, xs, ys].astype(jnp.float32)
+    lx = logit[b_idx, jnp.maximum(xs - 1, 0), ys].astype(jnp.float32)
+    hx = logit[b_idx, jnp.minimum(xs + 1, G - 1), ys].astype(jnp.float32)
+    ly = logit[b_idx, xs, jnp.maximum(ys - 1, 0)].astype(jnp.float32)
+    hy = logit[b_idx, xs, jnp.minimum(ys + 1, G - 1)].astype(jnp.float32)
+    return jnp.stack([axis_off(lx, c, hx), axis_off(ly, c, hy)], axis=-1)
+
+
+def _decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by, b_valid, cfg,
+                  bsub=None):
     """Shared bond decode tail. All inputs are per-peak gathers:
 
       w          (B, Kb, 60)    f32 omega logits at bond peaks
@@ -163,17 +204,23 @@ def _decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by, b_valid, cfg):
         (Bsz, cfg.max_bonds, cfg.omega_per_bond, 2))
     bond_valid = o_valid & b_valid[..., None]
 
-    return {
+    out = {
         "bond_score": flat(o_score * 1.0),
         "bond_xy": flat(bond_xy).astype(jnp.int32),
         "bond_delta": flat(jnp.stack([dx, dy], axis=-1)),
         "bond_type": flat(btype).astype(jnp.int32),
         "bond_valid": flat(bond_valid),
     }
+    if bsub is not None:
+        out["bond_sub"] = flat(jnp.broadcast_to(
+            bsub[:, :, None, :],
+            (Bsz, cfg.max_bonds, cfg.omega_per_bond, 2)))
+    return out
 
 
-def _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge, atom_hs):
-    return {
+def _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge, atom_hs,
+                  asub=None):
+    out = {
         "atom_score": jax.nn.sigmoid(a_raw.astype(jnp.float32)),
         "atom_xy": jnp.stack([ax, ay], axis=-1).astype(jnp.int32),
         "atom_type": atom_type.astype(jnp.int32),
@@ -181,6 +228,9 @@ def _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge, atom_hs):
         "atom_hs": atom_hs.astype(jnp.int32),
         "atom_valid": a_valid,
     }
+    if asub is not None:
+        out["atom_sub"] = asub
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -255,10 +305,12 @@ def extract_peaks(preds: Dict[str, jnp.ndarray],
     bt_at_peak = bt[b_idx, bx, by]                  # (B, Kb, 6, 60)
     rho60 = preds["bond_rho"][b_idx, bx, by]        # (B, Kb, 60)
 
+    asub = subcell_offsets(a_logit, ax, ay) if cfg.subcell else None
+    bsub = subcell_offsets(b_logit, bx, by) if cfg.subcell else None
     out = _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge,
-                        atom_hs)
+                        atom_hs, asub)
     out.update(_decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by,
-                             b_valid, cfg))
+                             b_valid, cfg, bsub))
     return out
 
 
@@ -456,10 +508,12 @@ def extract_peaks_sparse(heatmaps: Dict[str, jnp.ndarray],
 
     bt_at_peak = btf.reshape(B, Kb, NB, NO)
 
+    asub = subcell_offsets(a_logit, ax, ay) if cfg.subcell else None
+    bsub = subcell_offsets(b_logit, bx, by) if cfg.subcell else None
     out = _atom_outputs(a_raw, ax, ay, a_valid, atom_type, atom_charge,
-                        atom_hs)
+                        atom_hs, asub)
     out.update(_decode_bonds(w, neigh_max, bt_at_peak, rho60, bx, by,
-                             b_valid, cfg))
+                             b_valid, cfg, bsub))
     return out
 
 

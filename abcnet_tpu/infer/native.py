@@ -30,7 +30,7 @@ _F64P = ctypes.POINTER(ctypes.c_double)
 # .so built before a signature change loads fine under ctypes and
 # silently ignores trailing arguments (x86-64 calling convention), so
 # version-gate instead of trusting the file.
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 @functools.lru_cache(maxsize=1)
@@ -56,7 +56,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         _I32P, _I32P, _I32P, _I32P, _U8P, ctypes.c_int32,
         _I32P, _F32P, _I32P, _U8P, ctypes.c_int32,
         _F64P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P,
-        ctypes.c_double,
+        ctypes.c_double, _F32P, _F32P,
     ]
     return lib
 
@@ -66,11 +66,15 @@ def _p(arr, typ):
 
 
 def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
-                          overshoot_cap: Optional[float] = None
-                          ) -> Optional[Tuple]:
+                          overshoot_cap: Optional[float] = None,
+                          subcell: bool = True) -> Optional[Tuple]:
     """Run the C++ assembler for one image. Returns
     (atom_pos [A,2], atom_type [A], atom_charge [A], atom_hs [A],
-     bonds [B,2] 0-based, bond_orders [B]) or None."""
+     bonds [B,2] 0-based, bond_orders [B]) or None.
+
+    subcell: when the peaks carry atom_sub/bond_sub offsets
+    (infer/decode.py:subcell_offsets), dedup + endpoint matching use the
+    refined coordinates; atom_pos still returns integer cells."""
     lib = load_native()
     if lib is None:
         return None
@@ -98,13 +102,20 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
     out_btype = np.zeros(kb, np.int32)
     n_bonds = np.zeros(1, np.int32)
 
+    asub = bsub = None
+    if subcell and "atom_sub" in peaks:
+        asub = np.ascontiguousarray(peaks["atom_sub"][index], np.float32)
+        bsub = np.ascontiguousarray(peaks["bond_sub"][index], np.float32)
+    null_f32 = ctypes.cast(None, _F32P)
     na = lib.assemble_graph(
         _p(axy, _I32P), _p(at, _I32P), _p(ac, _I32P), _p(ah, _I32P),
         _p(av, _U8P), ka,
         _p(bxy, _I32P), _p(bd, _F32P), _p(bt, _I32P), _p(bv, _U8P), kb,
         _p(out_pos, _F64P), _p(out_type, _I32P), _p(out_charge, _I32P),
         _p(out_hs, _I32P), _p(out_bonds, _I32P), _p(out_btype, _I32P),
-        _p(n_bonds, _I32P), ctypes.c_double(overshoot_cap))
+        _p(n_bonds, _I32P), ctypes.c_double(overshoot_cap),
+        _p(asub, _F32P) if asub is not None else null_f32,
+        _p(bsub, _F32P) if bsub is not None else null_f32)
     if na < 0:
         return None
     nb = int(n_bonds[0])

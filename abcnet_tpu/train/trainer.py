@@ -102,9 +102,13 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=tuple(opt_state))
 
 
-def create_state(cfg: TrainConfig, rng: Optional[jax.Array] = None
-                 ) -> TrainState:
-    model = UNet(heads=tuple(cfg.heads), dtype=getattr(jnp, cfg.dtype))
+def create_state(cfg: TrainConfig, rng: Optional[jax.Array] = None,
+                 model=None) -> TrainState:
+    """model: optional flax module overriding the production UNet (same
+    head I/O contract) — e.g. models.unet_cbam.UNetCBAM (the
+    reference's never-trained src/unet2.py variant)."""
+    if model is None:
+        model = UNet(heads=tuple(cfg.heads), dtype=getattr(jnp, cfg.dtype))
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     variables = init_unet(rng, model)
     params = variables["params"]

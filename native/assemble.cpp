@@ -22,7 +22,9 @@
 namespace {
 
 struct AtomRec {
-  double x, y;
+  double x, y;    // integer peak cell (MolBlock / stereo coordinates)
+  double mx, my;  // sub-cell-refined match coordinates (== x,y when the
+                  // caller passes no atom_sub)
   int32_t type, charge, hs;
 };
 
@@ -69,8 +71,9 @@ extern "C" {
 // caller verifies it at load time and falls back to the numpy path on
 // mismatch — a stale .so built for an older signature would otherwise
 // load fine and silently ignore trailing arguments on x86-64).
-// History: 1 = original assemble_graph; 2 = + overshoot_cap double.
-int32_t abcnet_native_abi_version(void) { return 2; }
+// History: 1 = original assemble_graph; 2 = + overshoot_cap double;
+// 3 = + nullable atom_sub/bond_sub float32 sub-cell offset arrays.
+int32_t abcnet_native_abi_version(void) { return 3; }
 
 // Assemble one image's peaks into a molecular graph.
 //
@@ -79,6 +82,11 @@ int32_t abcnet_native_abi_version(void) { return 2; }
 //   atom_valid uint8 [ka]
 //   bond_xy    int32 [kb, 2], bond_delta float32 [kb, 2],
 //   bond_type  int32 [kb] (0..5), bond_valid uint8 [kb]
+//   atom_sub / bond_sub: nullable float32 [ka,2] / [kb,2] sub-cell
+//     offsets (infer/decode.py:subcell_offsets). When given, dedup
+//     distances, endpoint matching and bond centers use cell+offset;
+//     out_atom_pos still returns the INTEGER cells so MolBlock/stereo
+//     coordinates keep the encoder's quantization (generate.py:237-246).
 // Outputs (caller-allocated, capacities ka / kb):
 //   out_atom_pos   float64 [ka, 2]
 //   out_atom_type  int32  [ka]   (vocabulary class, valence-fixed)
@@ -97,7 +105,7 @@ int32_t assemble_graph(
     double* out_atom_pos, int32_t* out_atom_type,
     int32_t* out_atom_charge, int32_t* out_atom_hs,
     int32_t* out_bonds, int32_t* out_bond_type, int32_t* out_n_bonds,
-    double overshoot_cap) {
+    double overshoot_cap, const float* atom_sub, const float* bond_sub) {
   // Along-axis overshoot penalty beyond the cap (see
   // infer/assemble.py:OVERSHOOT_CAP); cap <= 0 = reference behavior.
   auto overshoot_extra = [overshoot_cap](double along) {
@@ -125,13 +133,19 @@ int32_t assemble_graph(
   atoms.reserve(order.size());
   for (int idx : order) {
     double x = atom_xy[2 * idx], y = atom_xy[2 * idx + 1];
+    double mx = x, my = y;
+    if (atom_sub) {
+      mx += atom_sub[2 * idx];
+      my += atom_sub[2 * idx + 1];
+    }
     bool dup = false;
     for (const AtomRec& a : atoms) {
-      double dx = a.x - x, dy = a.y - y;
+      double dx = a.mx - mx, dy = a.my - my;
       if (dx * dx + dy * dy < 4.0) { dup = true; break; }
     }
     if (dup) continue;
-    atoms.push_back({x, y, atom_type[idx], atom_charge[idx], atom_hs[idx]});
+    atoms.push_back({x, y, mx, my,
+                     atom_type[idx], atom_charge[idx], atom_hs[idx]});
   }
   const int na = static_cast<int>(atoms.size());
 
@@ -141,6 +155,10 @@ int32_t assemble_graph(
   for (int b = 0; b < kb; ++b) {
     if (!bond_valid[b]) continue;
     double px = bond_xy[2 * b], py = bond_xy[2 * b + 1];
+    if (bond_sub) {
+      px += bond_sub[2 * b];
+      py += bond_sub[2 * b + 1];
+    }
     double dx = bond_delta[2 * b], dy = bond_delta[2 * b + 1];
     double norm = std::sqrt(dx * dx + dy * dy);
     if (norm < 1e-9) norm = 1e-9;
@@ -152,12 +170,12 @@ int32_t assemble_graph(
     int best1 = -1, best2 = -1;
     double bd1 = 1e30, bd2 = 1e30;
     for (int a = 0; a < na; ++a) {
-      double r1x = p1x - atoms[a].x, r1y = p1y - atoms[a].y;
+      double r1x = p1x - atoms[a].mx, r1y = p1y - atoms[a].my;
       double al1 = r1x * e1x + r1y * e1y;
       double d1 = std::fabs(leaky_relu(al1)) + overshoot_extra(al1) +
                   std::fabs(2.0 * (r1x * e2x + r1y * e2y));
       if (d1 < bd1) { bd1 = d1; best2 = a; }
-      double r2x = p2x - atoms[a].x, r2y = p2y - atoms[a].y;
+      double r2x = p2x - atoms[a].mx, r2y = p2y - atoms[a].my;
       double al2 = -(r2x * e1x + r2y * e1y);
       double d2 = std::fabs(leaky_relu(al2)) + overshoot_extra(al2) +
                   std::fabs(2.0 * (r2x * e2x + r2y * e2y));

@@ -80,19 +80,28 @@ def main():
 
     run = make_infer_pipeline(state)
     all_truths, all_preds = [], []
+    all_preds_int = []
     for mode, samples in pools.items():
-        truths, preds = [], []
+        truths, preds, preds_int = [], [], []
         t0 = time.time()
         for i in range(0, n, EVAL_BATCH):
             chunk = samples[i:i + EVAL_BATCH]
             peaks = run(np.stack([s.image for s in chunk]))
             preds.extend(assemble_batch(peaks))
+            # A/B on the same peaks: reference integer-cell matching
+            # (no sub-cell refinement) for the controlled comparison.
+            preds_int.extend(assemble_batch(peaks, subcell=False))
             truths.extend(s.smiles for s in chunk)
         print(f"E2E[{mode}] {score_pairs(truths, preds)} "
               f"({time.time()-t0:.0f}s)", flush=True)
+        print(f"E2E[{mode}/int-cell] {score_pairs(truths, preds_int)}",
+              flush=True)
         all_truths.extend(truths)
         all_preds.extend(preds)
+        all_preds_int.extend(preds_int)
     print(f"E2E[all] {score_pairs(all_truths, all_preds)}", flush=True)
+    print(f"E2E[all/int-cell] {score_pairs(all_truths, all_preds_int)}",
+          flush=True)
     out_csv = os.path.join(repo, "logs", f"final_eval_step{step}.csv")
     write_results_csv(out_csv, all_truths, all_preds)
     print(f"wrote {out_csv}", flush=True)

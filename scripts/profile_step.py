@@ -136,6 +136,22 @@ def main():
             return total, grads
         report("fwd+bwd (no opt)   ", grads_only, state, batch, key)
 
+    if want("grads_rbg"):
+        # Same fwd+bwd but with an rbg-impl PRNG key: threefry bit
+        # generation for the 8 dropout masks + salt/pepper noise is
+        # pure VPU work; rbg is the cheap hardware generator. The gap
+        # between this and `grads` is the RNG cost in the step.
+        @jax.jit
+        def grads_rbg(state, batch, key):
+            grad_fn = jax.value_and_grad(trainer.loss_and_metrics,
+                                         has_aux=True)
+            (total, aux), grads = grad_fn(
+                state.params, state.batch_stats, state.apply_fn, batch,
+                key, 0.2, True, False)
+            return total, grads
+        rbg_key = jax.random.PRNGKey(0, impl="rbg")
+        report("fwd+bwd (rbg rng)  ", grads_rbg, state, batch, rbg_key)
+
     if want("adam"):
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
 
