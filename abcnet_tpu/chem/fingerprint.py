@@ -41,18 +41,25 @@ def morgan_fingerprint(mol: Mol, radius: int = 3) -> Dict[int, int]:
         )))
 
     counts: Dict[int, int] = {}
-    # Radius 0 environments.
-    seen_envs = {}
+    # Radius 0 environments: every atom contributes (ECFP definition).
     for i in range(n):
         counts[ids[i]] = counts.get(ids[i], 0) + 1
 
     bond_key = [4 if b.aromatic else b.order for b in mol.bonds]
-    # Track the bond set of each environment for ECFP-style dedup.
+    # ECFP bond-set dedup (Rogers & Hahn 2010 §"duplicate removal",
+    # matching RDKit's Morgan env dedup): an environment is identified by
+    # the SET OF BONDS it covers; each distinct bond set contributes
+    # exactly once across ALL radii. This both collapses symmetric
+    # duplicates found at the same radius (ethane's two radius-1 envs are
+    # the same single bond -> one contribution) and stops re-counting
+    # environments that no longer grow (a whole-molecule env reached at
+    # radius r is not counted again at r+1; an isolated atom never gains
+    # bonds, so methane's fingerprint is exactly its radius-0 env).
+    seen_envs: set = set()
     env_bonds = [frozenset() for _ in range(n)]
     for r in range(1, radius + 1):
         new_ids = list(ids)
         new_env_bonds = list(env_bonds)
-        round_envs: Dict[frozenset, int] = {}
         for i in range(n):
             nbrs = []
             bonds = set(env_bonds[i])
@@ -70,14 +77,11 @@ def morgan_fingerprint(mol: Mol, radius: int = 3) -> Dict[int, int]:
             new_env_bonds[i] = frozenset(bonds)
         ids = new_ids
         env_bonds = new_env_bonds
-        # Deduplicate identical environments (same bond set) discovered at
-        # the same radius: only one contributes, matching RDKit behavior.
         for i in range(n):
             key = env_bonds[i]
-            if key and key in round_envs:
+            if not key or key in seen_envs:
                 continue
-            if key:
-                round_envs[key] = ids[i]
+            seen_envs.add(key)
             counts[ids[i]] = counts.get(ids[i], 0) + 1
     return counts
 

@@ -124,9 +124,19 @@ def canonical_tautomer(mol: Mol) -> Mol:
         if depth >= MAX_DEPTH:
             continue
         # Work on a kekulized copy so ring bonds expose explicit orders.
+        # Clearing the aromatic flags (only when kekulization succeeded)
+        # lets _shift_moves walk INTO former-aromatic rings — this is
+        # what realizes azole NH annular tautomerism (imidazole N1-H ->
+        # N3-H is a 1,3-shift over the kekule structure) and lets the
+        # enumerator visit e.g. phenol's cyclohexadienone form, which
+        # _score then rejects (-100 for the lost aromatic ring).
         work = cur.copy()
         try:
             kekulize(work)
+            for atom in work.atoms:
+                atom.aromatic = False
+            for bond in work.bonds:
+                bond.aromatic = False
         except Exception:
             work = cur
         for move in _shift_moves(work):

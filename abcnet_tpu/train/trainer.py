@@ -76,6 +76,20 @@ class TrainState(struct.PyTreeNode):
     apply_fn: Any = struct.field(pytree_node=False)
 
 
+def rng_key(seed: int) -> jax.Array:
+    """Typed PRNG key on the TPU's hardware RBG implementation.
+
+    The per-step key feeds the (B,512,512) salt/pepper noise masks
+    (pipeline.device_unpack_bits) and the head dropout; with the default
+    threefry impl that bit generation is pure VPU work inside the step.
+    Measured on v5e at batch 128: 666 ms/step with rbg vs 780 ms with
+    threefry (~15% step time). rbg trades counter-based reproducibility
+    across backends for speed — fine here, the reference's torch RNG has
+    no cross-run guarantee either (utils.py:47-77 uses np global RNG).
+    """
+    return jax.random.key(seed, impl="rbg")
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """torch-style Adam: wd added to the gradient before moments
     (train.py:55), LR dropped once at epoch floor(epochs/3)."""

@@ -80,7 +80,7 @@ def main():
             flush=True)
         return key
 
-    key = jax.random.PRNGKey(41)
+    key = trainer.rng_key(41)
     meters = MeterBank()
     step = start_step
     t0 = time.time()

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+from abcnet_tpu.chem import canonical_smiles
 from abcnet_tpu.data import pipeline
 from abcnet_tpu.data.pool import load_pool
 from abcnet_tpu.eval.scoring import score_pairs
@@ -43,6 +44,22 @@ BATCH = 128
 LR = 2.5e-5
 HARD_FRAC = 0.3       # fraction of each batch drawn from the mined set
 MINE_BATCH = 64
+
+
+def _same_mol(pred, truth):
+    """Canonical-form-insensitive equality: the pool stores aromatic-form
+    SMILES while the assembler emits kekulized form, so a raw string
+    compare marks ~every aromatic molecule wrong (measured on
+    logs/final_eval_step56000.csv: 298 of 394 raw mismatches are
+    form-only). Short-circuit on raw equality, else canonicalize both."""
+    if pred is None:
+        return False
+    if pred == truth:
+        return True
+    try:
+        return canonical_smiles(pred) == canonical_smiles(truth)
+    except Exception:
+        return False
 
 
 def mine_hard(state, samples, cache_path):
@@ -64,7 +81,7 @@ def mine_hard(state, samples, cache_path):
         peaks = run(np.stack([s.image for s in chunk]))
         preds = assemble_batch(peaks)
         for j, (s, p) in enumerate(zip(chunk, preds)):
-            if p != s.smiles:
+            if not _same_mol(p, s.smiles):
                 wrong.append(i + j)
         if (i // MINE_BATCH) % 100 == 99:
             print(f"mine {i + MINE_BATCH}/{n} wrong={len(wrong)} "
@@ -127,7 +144,7 @@ def main():
             flush=True)
         return key
 
-    key = jax.random.PRNGKey(21)
+    key = trainer.rng_key(21)
     meters = MeterBank()
     step = start_step
     t0 = time.time()

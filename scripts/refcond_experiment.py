@@ -114,7 +114,7 @@ def main():
         if csv:
             write_results_csv(csv, truths, preds)
 
-    key = jax.random.PRNGKey(31)
+    key = trainer.rng_key(31)
     if not resumed:
         # ---- stage 2: zero-shot data-difficulty decomposition ----
         key = run_eval(state, key, "REFCOND-BASE")
