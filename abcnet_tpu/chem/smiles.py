@@ -262,17 +262,28 @@ def _initial_invariants(mol: Mol) -> List[Tuple]:
     return inv
 
 
-def _refine(mol: Mol, ranks: List[int]) -> List[int]:
+def _adjacency(mol: Mol) -> List[List[Tuple[int, int]]]:
+    """(bond_key, neighbor) rows, precomputed once per ranking call:
+    _refine iterates to a fixpoint and the tie-break search re-refines
+    up to _MAX_CANON_ATTEMPTS times, so hoisting the Mol accessor calls
+    out of the loop matters (host-assembly profile: to_smiles is ~2/3
+    of per-molecule decode cost, most of it inside _refine)."""
+    return [[(4 if b.aromatic else b.order, b.other(i))
+             for b in mol.bonds_of(i)] for i in range(mol.num_atoms)]
+
+
+def _refine(mol: Mol, ranks: List[int],
+            adj: Optional[List[List[Tuple[int, int]]]] = None) -> List[int]:
     n = mol.num_atoms
+    if adj is None:
+        adj = _adjacency(mol)
     while True:
         keys = []
         for i in range(n):
-            nbrs = sorted(
-                (4 if b.aromatic else b.order, ranks[b.other(i)])
-                for b in mol.bonds_of(i)
-            )
-            keys.append((ranks[i], tuple(nbrs)))
-        order = sorted(range(n), key=lambda i: keys[i])
+            nbrs = [(bk, ranks[j]) for bk, j in adj[i]]
+            nbrs.sort()
+            keys.append((ranks[i], nbrs))
+        order = sorted(range(n), key=keys.__getitem__)
         new_ranks = [0] * n
         r = 0
         for j, i in enumerate(order):
@@ -284,7 +295,9 @@ def _refine(mol: Mol, ranks: List[int]) -> List[int]:
         ranks = new_ranks
 
 
-def canonical_ranks(mol: Mol) -> List[int]:
+def canonical_ranks(mol: Mol,
+                    adj: Optional[List[List[Tuple[int, int]]]] = None
+                    ) -> List[int]:
     n = mol.num_atoms
     inv = _initial_invariants(mol)
     order = sorted(range(n), key=lambda i: inv[i])
@@ -294,7 +307,7 @@ def canonical_ranks(mol: Mol) -> List[int]:
         if j > 0 and inv[i] != inv[order[j - 1]]:
             r = j
         ranks[i] = r
-    return _refine(mol, ranks)
+    return _refine(mol, ranks, adj)
 
 
 _MAX_CANON_ATTEMPTS = 128
@@ -314,13 +327,16 @@ def to_smiles(mol: Mol, canonical: bool = True,
         ranks = list(range(mol.num_atoms))
         return _write(mol, ranks, kekule)
     budget = [_MAX_CANON_ATTEMPTS]
-    ranks = canonical_ranks(mol)
-    s, _ = _canon_search(mol, ranks, kekule, budget)
+    adj = _adjacency(mol)
+    ranks = canonical_ranks(mol, adj)
+    s, _ = _canon_search(mol, ranks, kekule, budget, adj)
     return s
 
 
 def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
-                  budget: List[int]) -> Tuple[str, List[int]]:
+                  budget: List[int],
+                  adj: Optional[List[List[Tuple[int, int]]]] = None
+                  ) -> Tuple[str, List[int]]:
     n = mol.num_atoms
     if len(set(ranks)) == n or budget[0] <= 0:
         return _write(mol, ranks, kekule), ranks
@@ -340,8 +356,8 @@ def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
         for i in range(n):
             trial[i] = trial[i] * 2
         trial[m] -= 1
-        trial = _refine(mol, trial)
-        cand = _canon_search(mol, trial, kekule, budget)
+        trial = _refine(mol, trial, adj)
+        cand = _canon_search(mol, trial, kekule, budget, adj)
         if best is None or cand[0] < best[0]:
             best = cand
     assert best is not None

@@ -201,9 +201,10 @@ def _stereo_refined_ranks(mol: Mol):
     (the CIP/Razinger loop): descriptors defined under the current
     partition split constitutionally-equivalent-but-stereo-different
     branches, which can define further descriptors, to a fixpoint."""
-    from .smiles import _refine, canonical_ranks
+    from .smiles import _adjacency, _refine, canonical_ranks
     n = mol.num_atoms
-    ranks = canonical_ranks(mol)
+    adj = _adjacency(mol)
+    ranks = canonical_ranks(mol, adj)
     while True:
         a_desc = [_atom_descriptor(mol, i, ranks) for i in range(n)]
         e_desc = [[] for _ in range(n)]
@@ -221,7 +222,7 @@ def _stereo_refined_ranks(mol: Mol):
             if j > 0 and inv[i] != inv[order[j - 1]]:
                 r = j
             new_ranks[i] = r
-        new_ranks = _refine(mol, new_ranks)
+        new_ranks = _refine(mol, new_ranks, adj)
         if new_ranks == ranks:
             return ranks
         ranks = new_ranks
@@ -242,6 +243,9 @@ def prune_nonstereogenic(mol: Mol) -> int:
     tag removes a descriptor another center depended on — so the whole
     procedure repeats to a fixpoint. Returns the number of tags
     cleared."""
+    if (not any(a.parity for a in mol.atoms)
+            and not any(b.ez for b in mol.bonds)):
+        return 0  # nothing to prune; skip the refinement loops entirely
     cleared = 0
     while True:
         ranks = _stereo_refined_ranks(mol)
