@@ -329,17 +329,19 @@ def to_smiles(mol: Mol, canonical: bool = True,
     budget = [_MAX_CANON_ATTEMPTS]
     adj = _adjacency(mol)
     ranks = canonical_ranks(mol, adj)
-    s, _ = _canon_search(mol, ranks, kekule, budget, adj)
+    ctx = _write_ctx(mol, kekule)
+    s, _ = _canon_search(mol, ranks, kekule, budget, adj, ctx)
     return s
 
 
 def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
                   budget: List[int],
-                  adj: Optional[List[List[Tuple[int, int]]]] = None
+                  adj: Optional[List[List[Tuple[int, int]]]] = None,
+                  ctx: Optional["_WriteCtx"] = None
                   ) -> Tuple[str, List[int]]:
     n = mol.num_atoms
     if len(set(ranks)) == n or budget[0] <= 0:
-        return _write(mol, ranks, kekule), ranks
+        return _write(mol, ranks, kekule, ctx), ranks
     # First tied class (smallest rank value with multiple members).
     by_rank: Dict[int, List[int]] = {}
     for i, r in enumerate(ranks):
@@ -357,7 +359,7 @@ def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
             trial[i] = trial[i] * 2
         trial[m] -= 1
         trial = _refine(mol, trial, adj)
-        cand = _canon_search(mol, trial, kekule, budget, adj)
+        cand = _canon_search(mol, trial, kekule, budget, adj, ctx)
         if best is None or cand[0] < best[0]:
             best = cand
     assert best is not None
@@ -432,8 +434,46 @@ def _bond_token(mol: Mol, bond: Bond, kekule: bool) -> str:
     return ""
 
 
-def _write(mol: Mol, ranks: List[int], kekule: bool) -> str:
+class _WriteCtx:
+    """Rank-independent emission state, computed ONCE per to_smiles call
+    and reused across every candidate write of the canonical tie-break
+    search (~6 writes/molecule on decoded aromatics — host-assembly
+    profile: _atom_token + neighbor-list rebuilds were ~45% of
+    canonicalization after the _refine adjacency hoist):
+    - nbr[v]: (neighbor, bond_index) pairs in bond-index order, so a
+      stable sort by ranks[u] alone reproduces the (ranks[u], bi) order.
+    - atom_tok[v]: the emitted token for parity-free atoms (chiral tags
+      are the only rank-dependent part of an atom token); None => derive
+      per write via _chiral_tag.
+    - bond_tok[bi]: _bond_token is rank-independent always.
+    """
+
+    __slots__ = ("nbr", "atom_tok", "bond_tok")
+
+    def __init__(self, mol: Mol, kekule: bool):
+        n = mol.num_atoms
+        self.nbr: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+        for bi, b in enumerate(mol.bonds):
+            self.nbr[b.a].append((b.b, bi))
+            self.nbr[b.b].append((b.a, bi))
+        self.atom_tok: List[Optional[str]] = [
+            None if mol.atoms[v].parity else _atom_token(mol, v, kekule)
+            for v in range(n)
+        ]
+        self.bond_tok: List[str] = [
+            _bond_token(mol, b, kekule) for b in mol.bonds
+        ]
+
+
+def _write_ctx(mol: Mol, kekule: bool) -> "_WriteCtx":
+    return _WriteCtx(mol, kekule)
+
+
+def _write(mol: Mol, ranks: List[int], kekule: bool,
+           ctx: Optional[_WriteCtx] = None) -> str:
     n = mol.num_atoms
+    if ctx is None:
+        ctx = _WriteCtx(mol, kekule)
     visited = [False] * n
     # Ring-closure bookkeeping.
     ring_bond_digit: Dict[int, int] = {}
@@ -449,13 +489,15 @@ def _write(mol: Mol, ranks: List[int], kekule: bool) -> str:
         # First pass: discover back edges with an explicit-stack DFS that
         # mirrors the writing pass exactly.
         frag = _write_fragment(mol, root, ranks, visited, kekule,
-                               ring_bond_digit, digit_free, closures_at)
+                               ring_bond_digit, digit_free, closures_at,
+                               ctx)
         fragments.append(frag)
     return ".".join(fragments)
 
 
 def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
-                    ring_bond_digit, digit_free, closures_at) -> str:
+                    ring_bond_digit, digit_free, closures_at,
+                    ctx: _WriteCtx) -> str:
     # Pass 1: find spanning tree + back edges in deterministic rank order.
     parent_bond: Dict[int, int] = {}
     parent_of: Dict[int, int] = {}
@@ -468,9 +510,9 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
     while stack:
         v = stack.pop()
         visit_order.append(v)
-        nbrs = sorted(((mol.bonds[bi].other(v), bi)
-                       for bi in mol.bond_indices_of(v)),
-                      key=lambda t: (ranks[t[0]], t[1]))
+        # ctx.nbr[v] is in bond-index order; the stable sort by rank
+        # reproduces the (ranks[u], bi) order of the original genexpr.
+        nbrs = sorted(ctx.nbr[v], key=lambda t: ranks[t[0]])
         for (u, bi) in reversed(nbrs):
             if bi in seen_bonds:
                 continue
@@ -566,8 +608,11 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
         ring_list = sorted(back_edges_at.get(v, []),
                            key=lambda t: ranks[t[0]])
         kid_list = sorted(children.get(v, []), key=lambda t: ranks[t[0]])
-        out.append(_atom_token(mol, v, kekule,
-                               _chiral_tag(v, ring_list, kid_list)))
+        tok = ctx.atom_tok[v]
+        if tok is None:
+            tok = _atom_token(mol, v, kekule,
+                              _chiral_tag(v, ring_list, kid_list))
+        out.append(tok)
         # Ring closures at this atom, in first-seen order.
         for (u, bi) in ring_list:
             if bi in ring_bond_digit:
@@ -578,11 +623,11 @@ def _write_fragment(mol: Mol, root: int, ranks, visited, kekule,
             else:
                 d = digit_free.pop(0)
                 ring_bond_digit[bi] = d
-                out.append(_bond_token(mol, mol.bonds[bi], kekule))
+                out.append(ctx.bond_tok[bi])
                 out.append(_digit_str(d))
         kids = kid_list
         for k, (u, bi) in enumerate(kids):
-            bond_tok = _bond_token(mol, mol.bonds[bi], kekule)
+            bond_tok = ctx.bond_tok[bi]
             if bi in dir_map and mol.bonds[bi].order == 1 \
                     and not mol.bonds[bi].aromatic:
                 bond_tok = "/" if dir_map[bi] > 0 else "\\"
