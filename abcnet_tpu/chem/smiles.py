@@ -330,15 +330,32 @@ def to_smiles(mol: Mol, canonical: bool = True,
     adj = _adjacency(mol)
     ranks = canonical_ranks(mol, adj)
     ctx = _write_ctx(mol, kekule)
-    s, _ = _canon_search(mol, ranks, kekule, budget, adj, ctx)
+    aut = list(range(mol.num_atoms))
+    s, _ = _canon_search(mol, ranks, kekule, budget, adj, ctx, aut, 0)
     return s
+
+
+def _aut_find(aut: List[int], i: int) -> int:
+    root = i
+    while aut[root] != root:
+        root = aut[root]
+    while aut[i] != root:
+        aut[i], i = root, aut[i]
+    return root
+
+
+def _aut_union(aut: List[int], a: int, b: int) -> None:
+    ra, rb = _aut_find(aut, a), _aut_find(aut, b)
+    if ra != rb:
+        aut[max(ra, rb)] = min(ra, rb)
 
 
 def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
                   budget: List[int],
                   adj: Optional[List[List[Tuple[int, int]]]] = None,
-                  ctx: Optional["_WriteCtx"] = None
-                  ) -> Tuple[str, List[int]]:
+                  ctx: Optional["_WriteCtx"] = None,
+                  aut: Optional[List[int]] = None,
+                  depth: int = 0) -> Tuple[str, List[int]]:
     n = mol.num_atoms
     if len(set(ranks)) == n or budget[0] <= 0:
         return _write(mol, ranks, kekule, ctx), ranks
@@ -349,9 +366,21 @@ def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
     tied_rank = min(r for r, members in by_rank.items() if len(members) > 1)
     members = by_rank[tied_rank]
     best: Optional[Tuple[str, List[int]]] = None
+    tried: List[int] = []
     for m in members:
         if budget[0] <= 0 and best is not None:
             break
+        # Automorphism orbit pruning (nauty-style, ROOT level only:
+        # there the stabilizer is the full automorphism group, so two
+        # orbit-mates' subtrees are guaranteed to produce identical
+        # minimal strings; at deeper nodes full-group orbits would
+        # over-prune). Orbits are discovered below, from byte-equal
+        # candidate strings.
+        if aut is not None and depth == 0 and tried:
+            fm = _aut_find(aut, m)
+            if any(_aut_find(aut, t) == fm for t in tried):
+                continue
+        tried.append(m)
         budget[0] -= 1
         trial = list(ranks)
         # Promote one member strictly ahead of its class, then re-refine.
@@ -359,9 +388,24 @@ def _canon_search(mol: Mol, ranks: List[int], kekule: bool,
             trial[i] = trial[i] * 2
         trial[m] -= 1
         trial = _refine(mol, trial, adj)
-        cand = _canon_search(mol, trial, kekule, budget, adj, ctx)
+        cand = _canon_search(mol, trial, kekule, budget, adj, ctx,
+                             aut, depth + 1)
         if best is None or cand[0] < best[0]:
             best = cand
+        elif aut is not None and cand[0] == best[0] \
+                and cand[1] is not best[1]:
+            # Equal complete strings under two discrete labelings: the
+            # composition best_labeling^-1 . cand_labeling is a graph
+            # automorphism (the string fully encodes the labeled graph,
+            # stereo tags re-expressed per labeling included). Record
+            # its atom orbits for root pruning.
+            rb, rc = best[1], cand[1]
+            if len(set(rb)) == n and len(set(rc)) == n:
+                inv_b = [0] * n
+                for i, r in enumerate(rb):
+                    inv_b[r] = i
+                for i in range(n):
+                    _aut_union(aut, i, inv_b[rc[i]])
     assert best is not None
     return best
 

@@ -170,6 +170,36 @@ def test_random_renumbering_fuzz():
                 f"{name}: permuted form diverged")
 
 
+def test_orbit_pruning_symmetric_molecules():
+    """The canonical search prunes root tie-break branches via
+    automorphism orbits discovered from byte-equal candidate strings
+    (smiles.py _canon_search). High-symmetry molecules are where the
+    pruning fires hardest — the canonical form must stay invariant
+    under renumbering there, and the search must stay within budget."""
+    from abcnet_tpu.chem import perceive_aromaticity
+    symmetric = [
+        ("benzene", "c1ccccc1"),
+        ("cubane-like cyclooctane", "C1CCCCCCC1"),
+        ("hexamethylbenzene", "Cc1c(C)c(C)c(C)c(C)c1C"),
+        ("biphenyl", "c1ccc(-c2ccccc2)cc1"),
+        ("tetramethylmethane", "CC(C)(C)C"),
+        ("triphenylmethane", "C(c1ccccc1)(c1ccccc1)c1ccccc1"),
+        ("porphyrin-ish macrocycle", "C1CC2CCC1CC2"),
+        ("18-crown-6", "C1COCCOCCOCCOCCOCCO1"),
+    ]
+    rng = random.Random(3)
+    for name, smi in symmetric:
+        mol = from_smiles(smi)
+        perceive_aromaticity(mol)
+        base = to_smiles(mol, canonical=True)
+        for _ in range(6):
+            perm = list(range(mol.num_atoms))
+            rng.shuffle(perm)
+            pmol = _permute_mol(mol, perm)
+            perceive_aromaticity(pmol)
+            assert to_smiles(pmol, canonical=True) == base, name
+
+
 def test_canonical_fuzz_random_molecules():
     """Canonical stability: parse(write(mol)) is a fixed point over a
     population of random drug-like molecules."""
