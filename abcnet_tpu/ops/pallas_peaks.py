@@ -44,10 +44,11 @@ _BLOCK_B = 8   # images per program (f32 sublane tile)
 
 def _shifted_neighbor_max(x: jnp.ndarray) -> jnp.ndarray:
     """Max over the 8 neighbors + self with SAME (-inf) edge handling,
-    equivalent to reduce_window(3x3, SAME) over one (G, G) map."""
-    g0, g1 = x.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (g0, g1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (g0, g1), 1)
+    equivalent to reduce_window(3x3, SAME) over each (G, G) map of a
+    (B, G, G) block."""
+    b, g0, g1 = x.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (b, g0, g1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, g0, g1), 2)
     neg = jnp.float32(-jnp.inf)
     m = x
     for dr in (-1, 0, 1):
@@ -55,13 +56,13 @@ def _shifted_neighbor_max(x: jnp.ndarray) -> jnp.ndarray:
             if dr == 0 and dc == 0:
                 continue
             # Per-axis pltpu.roll: Mosaic rejects jnp.roll's
-            # concat/slice lowering on (G, G) tiles.
+            # concat/slice lowering on these tiles.
             shifted = x
             if dr:
-                shifted = pltpu.roll(shifted, dr % g0, 0)
+                shifted = pltpu.roll(shifted, dr % g0, 1)
             if dc:
-                shifted = pltpu.roll(shifted, dc % g1, 1)
-            ok = jnp.ones((g0, g1), jnp.bool_)
+                shifted = pltpu.roll(shifted, dc % g1, 2)
+            ok = jnp.ones((b, g0, g1), jnp.bool_)
             if dr == 1:
                 ok &= row > 0
             elif dr == -1:
@@ -76,31 +77,37 @@ def _shifted_neighbor_max(x: jnp.ndarray) -> jnp.ndarray:
 
 def _nms_topk_kernel(x_ref, scores_ref, idx_ref, *, k: int,
                      threshold: float):
-    for j in range(_BLOCK_B):                      # static unroll
-        x = x_ref[j]                               # (G, G) f32
-        g0, g1 = x.shape
-        pooled = _shifted_neighbor_max(x)
-        keep = (pooled == x) & (x > threshold)
-        flat = jnp.where(keep, x, -jnp.inf).reshape(1, g0 * g1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 1)
-        cols_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    # The whole (BLOCK_B, G, G) block is processed at once: the K-step
+    # select-and-suppress loop reduces over axis 1 of a (BLOCK_B, G*G)
+    # tile, so all 8 images share each pass's VPU work. (The round-2
+    # version unrolled a per-image loop — 8x K full-map reductions,
+    # which is why it lost its A/B by 8% against XLA's sort-based
+    # top_k; see logs/profile_ab_r2.log.)
+    x = x_ref[...]                                 # (B, G, G) f32
+    b, g0, g1 = x.shape
+    pooled = _shifted_neighbor_max(x)
+    keep = (pooled == x) & (x > threshold)
+    flat = jnp.where(keep, x, -jnp.inf).reshape(b, g0 * g1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, g0 * g1), 1)
+    cols_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
 
-        def body(i, carry):
-            flat, svec, ivec = carry
-            # First-occurrence argmax == lax.top_k's stable tie order.
-            best = jnp.max(flat)
-            bidx = jnp.argmax(flat, axis=1)[0].astype(jnp.int32)
-            svec = jnp.where(cols_k == i, best, svec)
-            ivec = jnp.where(cols_k == i, bidx, ivec)
-            flat = jnp.where(cols == bidx, -jnp.inf, flat)
-            return flat, svec, ivec
+    def body(i, carry):
+        flat, svec, ivec = carry
+        # First-occurrence argmax == lax.top_k's stable tie order.
+        best = jnp.max(flat, axis=1, keepdims=True)           # (B, 1)
+        bidx = jnp.argmax(flat, axis=1).astype(jnp.int32)
+        bidx = bidx.reshape(b, 1)                             # (B, 1)
+        svec = jnp.where(cols_k == i, best, svec)
+        ivec = jnp.where(cols_k == i, bidx, ivec)
+        flat = jnp.where(cols == bidx, -jnp.inf, flat)
+        return flat, svec, ivec
 
-        _, svec, ivec = jax.lax.fori_loop(
-            0, k, body,
-            (flat, jnp.full((1, k), -jnp.inf, jnp.float32),
-             jnp.zeros((1, k), jnp.int32)))
-        scores_ref[j, :] = svec[0]
-        idx_ref[j, :] = ivec[0]
+    _, svec, ivec = jax.lax.fori_loop(
+        0, k, body,
+        (flat, jnp.full((b, k), -jnp.inf, jnp.float32),
+         jnp.zeros((b, k), jnp.int32)))
+    scores_ref[...] = svec
+    idx_ref[...] = ivec
 
 
 def nms_topk(logit: jnp.ndarray, k: int, threshold: float,
