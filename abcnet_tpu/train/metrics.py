@@ -111,8 +111,12 @@ def compute_metrics(preds: Dict[str, jnp.ndarray],
     out["atom_types_acc"] = _acc_at_peaks(act["atom_type"], t["atom_type"])
     out["atom_charges_acc"] = _acc_at_peaks(act["atom_charge"],
                                             t["atom_charge"])
-    hs_num, hs_den = _acc_at_peaks(act["atom_hs"], t["atom_hs"])
-    out["atom_hs_acc"] = (hs_num, hs_den + 0.01)
+    # Raw (num, den): when no atom carries an hnum target (pure-carbon
+    # rdkit-lineage evals), averages() omits the metric instead of
+    # printing a misleading 0.0000 (the +0.01 denominator pad this used
+    # to carry defeated that omission; the reference's +0.1 pad lives in
+    # the LOSS, ops/losses.py, where it belongs).
+    out["atom_hs_acc"] = _acc_at_peaks(act["atom_hs"], t["atom_hs"])
 
     # Bond type accuracy at labeled (omega, x, y) cells. With the fused
     # target representation the dense 6-way target exists only when
