@@ -113,33 +113,44 @@ def _cmd_img2smiles(args) -> None:
 
     truths, preds_all = [], []
     bs = args.batch_size
+    # Persistent assembly pool (multi_proc_img2smiles2.py Pool(32) role):
+    # created ONCE for the run — a per-batch spawn pool would pay
+    # interpreter startup every batch.
+    pool = None
+    if args.processes and args.processes > 1:
+        from .infer.assemble import make_assembly_pool
+        pool = make_assembly_pool(args.processes)
     # Double-buffered serving loop: jax dispatch is async, so batch
     # i+1's device program is launched BEFORE batch i's host graph
     # assembly runs — the device computes while the host assembles
     # (the two-stage steady state bench.py's pipelined loop measures;
     # the reference serializes forward and decode, img2smiles2.py:52-317).
     pending = None          # (peaks, n_real)
-    for i in range(0, len(samples), bs):
-        chunk = samples[i:i + bs]
-        k = len(chunk)
-        if k < bs:
-            # Pad the trailing chunk to the full batch (keeps the jitted
-            # program's shape cache) and drop the padding afterwards —
-            # the reference scores every row (img2smiles2.py:342-344);
-            # silently truncating len%bs samples is not parity.
-            chunk = chunk + [chunk[-1]] * (bs - k)
-        peaks = run(np.stack([s.image for s in chunk]))
-        truths.extend(s.smiles for s in chunk[:k])
+    try:
+        for i in range(0, len(samples), bs):
+            chunk = samples[i:i + bs]
+            k = len(chunk)
+            if k < bs:
+                # Pad the trailing chunk to the full batch (keeps the
+                # jitted program's shape cache) and drop the padding
+                # afterwards — the reference scores every row
+                # (img2smiles2.py:342-344); silently truncating len%bs
+                # samples is not parity.
+                chunk = chunk + [chunk[-1]] * (bs - k)
+            peaks = run(np.stack([s.image for s in chunk]))
+            truths.extend(s.smiles for s in chunk[:k])
+            if pending is not None:
+                preds_all.extend(
+                    assemble_batch(pending[0], pool=pool)[:pending[1]])
+            pending = (peaks, k)
+            if (i // bs) % 10 == 0:
+                print(f"{min(i + bs, len(samples))}/{len(samples)}")
         if pending is not None:
             preds_all.extend(
-                assemble_batch(pending[0],
-                               processes=args.processes)[:pending[1]])
-        pending = (peaks, k)
-        if (i // bs) % 10 == 0:
-            print(f"{min(i + bs, len(samples))}/{len(samples)}")
-    if pending is not None:
-        preds_all.extend(
-            assemble_batch(pending[0], processes=args.processes)[:pending[1]])
+                assemble_batch(pending[0], pool=pool)[:pending[1]])
+    finally:
+        if pool is not None:
+            pool.close()
     write_results_csv(args.out, truths, preds_all)
     print(score_pairs(truths, preds_all))
 

@@ -300,25 +300,54 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
                             final_hs, bond_pairs_1b, bond_orders)
 
 
+def _assemble_range(host: Dict[str, np.ndarray], lo: int, hi: int,
+                    native: bool, subcell: bool) -> List[Optional[str]]:
+    """Worker task: assemble images [lo, hi) of a peak batch. A range
+    per worker (instead of one task per image) pickles the batch dict
+    once per worker instead of once per image."""
+    fn = assemble_smiles_native if native else assemble_smiles
+    return [fn(host, i, subcell=subcell) for i in range(lo, hi)]
+
+
+def make_assembly_pool(processes: int):
+    """Persistent worker pool for the serving loop (the reference holds
+    one Pool(32) for its whole run, multi_proc_img2smiles2.py:268) —
+    a per-call spawn pool pays interpreter+import startup every batch.
+    Caller owns the pool (close() when done); pass it to
+    assemble_batch(pool=...)."""
+    import multiprocessing as mp
+    return mp.get_context("spawn").Pool(processes)
+
+
 def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
                    native: bool = True,
-                   subcell: bool = True) -> List[Optional[str]]:
+                   subcell: bool = True,
+                   pool=None) -> List[Optional[str]]:
     """Decode every image in a batch of peak arrays (host numpy).
 
     native=True uses the C++ assembler when built (falls back
     transparently). processes > 1 fans images out over a process pool —
     the multi_proc_img2smiles2.py Pool(32) role; with the on-device peak
-    reduction the serial path is usually fast enough. subcell=False
-    ignores any atom_sub/bond_sub refinement arrays (reference
-    integer-cell matching).
+    reduction the serial path is usually fast enough. pool: a persistent
+    pool from make_assembly_pool (preferred in serving loops; overrides
+    `processes`). subcell=False ignores any atom_sub/bond_sub refinement
+    arrays (reference integer-cell matching).
     """
     host = {k: np.asarray(v) for k, v in peaks.items()}
     n = host["atom_valid"].shape[0]
-    fn = assemble_smiles_native if native else assemble_smiles
-    if processes and processes > 1 and n > 1:
-        import functools
+    if pool is None and processes and processes > 1 and n > 1:
         import multiprocessing as mp
-        fn = functools.partial(fn, subcell=subcell)
-        with mp.get_context("spawn").Pool(processes) as pool:
-            return pool.starmap(fn, [(host, i) for i in range(n)])
+        with mp.get_context("spawn").Pool(processes) as tmp:
+            return assemble_batch(host, native=native, subcell=subcell,
+                                  pool=tmp)
+    if pool is not None and n > 1:
+        workers = getattr(pool, "_processes", 2)
+        step = -(-n // workers)
+        ranges = [(host, lo, min(lo + step, n), native, subcell)
+                  for lo in range(0, n, step)]
+        out: List[Optional[str]] = []
+        for part in pool.starmap(_assemble_range, ranges):
+            out.extend(part)
+        return out
+    fn = assemble_smiles_native if native else assemble_smiles
     return [fn(host, i, subcell=subcell) for i in range(n)]

@@ -45,7 +45,7 @@ def _run_cli(tmp_path, monkeypatch, n_samples, bs):
             return images[:, 0, 0].copy()
         return run
 
-    def fake_assemble(peaks, processes=None):
+    def fake_assemble(peaks, processes=None, pool=None):
         events.append(("asm", int(peaks[0])))
         return ["C" for _ in peaks]
 

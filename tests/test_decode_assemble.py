@@ -103,3 +103,35 @@ def test_extract_peaks_shapes():
     assert peaks["bond_valid"].dtype == jnp.bool_
     # Random near-threshold noise: just require it runs and masks apply.
     assert bool(jnp.all(peaks["atom_score"] >= 0.0))
+
+
+def test_assembly_pool_parity():
+    """The persistent worker pool (make_assembly_pool / assemble_batch
+    pool=) must return exactly the serial path's SMILES, in order."""
+    import random
+
+    import numpy as np
+
+    from abcnet_tpu.data.generate import generate_sample
+    from abcnet_tpu.infer.assemble import make_assembly_pool
+
+    peaks_list, seed = [], 4200
+    while len(peaks_list) < 5:
+        s = generate_sample(random.Random(seed), mode="rdkit")
+        seed += 1
+        if s is None:
+            continue
+        atoms = parse_atoms_string(s.atoms_string)
+        bonds = parse_bonds_string(s.bonds_string)
+        peaks_list.append(extract_peaks(
+            fake_logits_from_targets(encode_targets_np(atoms, bonds))))
+    peaks = {k: np.concatenate([np.asarray(p[k]) for p in peaks_list])
+             for k in peaks_list[0]}
+    serial = assemble_batch(peaks)
+    pool = make_assembly_pool(2)
+    try:
+        pooled = assemble_batch(peaks, pool=pool)
+    finally:
+        pool.close()
+    assert pooled == serial
+    assert sum(x is not None for x in serial) >= 4
