@@ -54,7 +54,10 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--batch", type=int, default=64,
                  help="inference batch (headline stays 64 for the "
                       "BASELINE.json comparison; larger for sweeps)")
-_ap.add_argument("--train-batch", type=int, default=64)
+_ap.add_argument("--train-batch", type=int, default=128,
+                 help="production training batch (round-3 A/B: batch 128 "
+                      "+ rbg RNG = 666 ms/step vs 874 ms at batch-64 "
+                      "rate; batch 256 OOMs in the backward)")
 _ap.add_argument("--dense", action="store_true",
                  help="A/B: dense head maps instead of the sparse "
                       "peak-cell head evaluation")
@@ -286,7 +289,9 @@ def main() -> None:
         tbuffers = [pipeline.synthetic_batch(TB, seed=100 + s)
                     for s in range(2)]
         tbuffers = [jax.device_put(b) for b in tbuffers]
-        key = jax.random.PRNGKey(0)
+        # Production trainer RNG (hardware rbg; trainer.rng_key docstring
+        # has the A/B vs threefry).
+        key = trainer.rng_key(0)
 
         train_times = []
         for i in range(6):
