@@ -219,7 +219,7 @@ def _cmd_bench(args) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import bench
-    bench.main()
+    bench.main(args.bench_args)
 
 
 def main(argv=None) -> None:
@@ -288,6 +288,8 @@ def main(argv=None) -> None:
     ta.set_defaults(fn=_cmd_test_acc)
 
     b = sub.add_parser("bench", help="throughput benchmark")
+    b.add_argument("bench_args", nargs=argparse.REMAINDER,
+                   help="flags forwarded to bench.py (e.g. --dense)")
     b.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)

@@ -46,16 +46,39 @@ def build_pool(path: str, n: int,
 
 
 def save_pool(path: str, samples: List[Sample]) -> None:
-    blob = np.concatenate([s.image.ravel() for s in samples])
+    """Write the corpus cache without materializing the concatenated
+    image blob: for the 90k 512x512 pool that transient was ~20+ GB on
+    top of the resident Sample list. The blob member is streamed into
+    the zip per sample instead; on-disk format is byte-compatible with
+    the previous np.savez layout (npz = zip of .npy members), so
+    load_pool and existing caches are unaffected."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
     shapes = np.array([s.image.shape for s in samples], np.int32)
-    sizes = shapes.prod(axis=1)
+    sizes = shapes.prod(axis=1).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    dtype = samples[0].image.dtype if samples else np.dtype(np.uint8)
+    assert all(s.image.dtype == dtype for s in samples), \
+        "mixed image dtypes in pool"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp.npz"
-    np.savez(tmp, blob=blob, shapes=shapes, offsets=offsets,
-             atoms=np.array([s.atoms_string for s in samples]),
-             bonds=np.array([s.bonds_string for s in samples]),
-             smiles=np.array([s.smiles for s in samples]))
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+        with zf.open("blob.npy", "w", force_zip64=True) as f:
+            npf.write_array_header_2_0(
+                f, {"descr": npf.dtype_to_descr(dtype),
+                    "fortran_order": False,
+                    "shape": (int(sizes.sum()),)})
+            for s in samples:
+                f.write(np.ascontiguousarray(s.image).tobytes())
+        small = {"shapes": shapes, "offsets": offsets,
+                 "atoms": np.array([s.atoms_string for s in samples]),
+                 "bonds": np.array([s.bonds_string for s in samples]),
+                 "smiles": np.array([s.smiles for s in samples])}
+        for name, arr in small.items():
+            with zf.open(name + ".npy", "w") as f:
+                npf.write_array(f, np.asanyarray(arr))
     os.replace(tmp, path)
 
 

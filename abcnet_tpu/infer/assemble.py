@@ -316,7 +316,11 @@ def make_assembly_pool(processes: int):
     Caller owns the pool (close() when done); pass it to
     assemble_batch(pool=...)."""
     import multiprocessing as mp
-    return mp.get_context("spawn").Pool(processes)
+    pool = mp.get_context("spawn").Pool(processes)
+    # Public worker count: assemble_batch sizes its chunks from this
+    # instead of the private Pool._processes attribute.
+    pool.n_workers = processes
+    return pool
 
 
 def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
@@ -341,7 +345,8 @@ def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
             return assemble_batch(host, native=native, subcell=subcell,
                                   pool=tmp)
     if pool is not None and n > 1:
-        workers = getattr(pool, "_processes", 2)
+        workers = getattr(pool, "n_workers", None) or getattr(
+            pool, "_processes", None) or 2
         step = -(-n // workers)
         ranges = [(host, lo, min(lo + step, n), native, subcell)
                   for lo in range(0, n, step)]

@@ -50,20 +50,42 @@ ITERS = 20
 N_BUFFERS = 4            # distinct pre-staged input batches, rotated
 TPU_PEAK_TFLOPS = 394.0  # v5e bf16 peak per chip (upper sanity bound)
 
-_ap = argparse.ArgumentParser()
-_ap.add_argument("--batch", type=int, default=64,
-                 help="inference batch (headline stays 64 for the "
-                      "BASELINE.json comparison; larger for sweeps)")
-_ap.add_argument("--train-batch", type=int, default=128,
-                 help="production training batch (round-3 A/B: batch 128 "
-                      "+ rbg RNG = 666 ms/step vs 874 ms at batch-64 "
-                      "rate; batch 256 OOMs in the backward)")
-_ap.add_argument("--dense", action="store_true",
-                 help="A/B: dense head maps instead of the sparse "
-                      "peak-cell head evaluation")
-_ap.add_argument("--skip-train", action="store_true")
-_ARGS = _ap.parse_args()
-BATCH = _ARGS.batch
+def _parse_args(argv=None):
+    """Parse at call time, never at import time: `python -m abcnet_tpu
+    bench` imports this module with the leftover 'bench' token still in
+    sys.argv, which a module-scope parse_args() turns into SystemExit 2.
+    """
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64,
+                    help="inference batch (headline stays 64 for the "
+                         "BASELINE.json comparison; larger for sweeps)")
+    ap.add_argument("--train-batch", type=int, default=128,
+                    help="production training batch (round-3 A/B: batch "
+                         "128 + rbg RNG = 666 ms/step vs 874 ms at "
+                         "batch-64 rate; batch 256 OOMs in the backward)")
+    ap.add_argument("--dense", action="store_true",
+                    help="A/B: dense head maps instead of the sparse "
+                         "peak-cell head evaluation")
+    ap.add_argument("--skip-train", action="store_true")
+    return ap.parse_args(argv)
+
+
+def _tunnel_alive() -> bool:
+    """Fast relay probe: if the axon relay is not even listening, JAX
+    burns ~30 min in silent transport retries before erroring — fail
+    soft in seconds instead. Any HTTP status (even an error page) means
+    the relay answers; only a connect failure ('000') means dead. A CPU
+    run (JAX_PLATFORMS=cpu) never needs the relay."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    try:
+        out = subprocess.run(
+            ["curl", "-s", "-m", "5", "-o", "/dev/null",
+             "-w", "%{http_code}", "http://127.0.0.1:8083/"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+        return out != "000"
+    except Exception:
+        return True  # probe tooling missing: let JAX try normally
 
 
 def _other_busy_python() -> int:
@@ -118,10 +140,38 @@ def _timed_loop(step_fn, buffers, iters, block_fn):
     return times
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    """Parse args, probe the tunnel, and run — emitting a valid JSON
+    line with an ``error`` field (exit 0) instead of a traceback when
+    the TPU backend is unreachable (BENCH_r03 was rc=1 for exactly
+    that; the driver needs a parseable line either way)."""
+    args = _parse_args(argv)
+    if not _tunnel_alive():
+        print(json.dumps({
+            "metric": "img2smiles_batch64_inference_throughput",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": "axon relay not answering on 127.0.0.1:8083 "
+                     "(TPU tunnel down); no measurement taken",
+        }))
+        return
+    try:
+        _run(args)
+    except BaseException as e:  # incl. SystemExit from sanity bounds
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        print(json.dumps({
+            "metric": "img2smiles_batch64_inference_throughput",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+
+
+def _run(args) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    BATCH = args.batch
 
     from abcnet_tpu.data import pipeline
     from abcnet_tpu.infer.decode import (DENSE_HEADS_SPARSE_MODE,
@@ -179,7 +229,7 @@ def main() -> None:
         images = pipeline.device_unpack_bits(image_bits,
                                              jax.random.PRNGKey(0),
                                              train=False)
-        if _ARGS.dense:
+        if args.dense:
             preds = model.apply(variables, images, train=False)
             peaks = extract_peaks(preds)
         else:
@@ -281,9 +331,9 @@ def main() -> None:
     e2e_ips = BATCH / max(pipe_dt / ITERS, assemble_dt)
 
     # ---- train-step benchmark (fwd+bwd+Adam+targets) ----
-    TB = _ARGS.train_batch
+    TB = args.train_batch
     train_ips, train_med = 0.0, 0.0
-    if not _ARGS.skip_train:
+    if not args.skip_train:
         cfg = trainer.TrainConfig(batch_size=TB)
         state = trainer.create_state(cfg)
         tbuffers = [pipeline.synthetic_batch(TB, seed=100 + s)
@@ -323,7 +373,7 @@ def main() -> None:
         "train_step_ms": round(train_med * 1e3, 1),
         "train_batch": TB,
         "batch": BATCH,
-        "decode_mode": "dense" if _ARGS.dense else "sparse",
+        "decode_mode": "dense" if args.dense else "sparse",
         "tunnel_rtt_ms": round(rtt_ms, 1),
         "contended_procs": contended,
     }))

@@ -97,7 +97,7 @@ def main():
             key, sub = jax.random.split(key)
             sb = shard_batch(hb, mesh)
             state, total, losses, _ = trainer.train_step(
-                state, sb, sub, amount=cfg.amount)
+                state, sb, sub, amount=cfg.amount, with_metrics=False)
             if step % 10 == 0:
                 # Eval-mode forward on the same augmented batch (see
                 # trainer.train_metrics_step; VERDICT r2 weak #5).

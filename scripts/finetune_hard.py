@@ -121,8 +121,12 @@ def main():
     # watchdog relaunch (the hard set drifts slowly); mine fresh only
     # when none exists.
     import glob
-    prior = sorted(glob.glob(
-        os.path.join(repo, "data_cache", "hard_idx_*.npy")))
+    import re
+    # Numeric sort: lexicographic order would let hard_idx_56000 shadow
+    # hard_idx_100000 forever once the step count gains a digit.
+    prior = sorted(
+        glob.glob(os.path.join(repo, "data_cache", "hard_idx_*.npy")),
+        key=lambda p: int(re.search(r"hard_idx_(\d+)", p).group(1)))
     cache = prior[-1] if prior else os.path.join(
         repo, "data_cache", f"hard_idx_{start_step}.npy")
     hard_idx = mine_hard(state, train_samples, cache)
@@ -171,7 +175,7 @@ def main():
         key, sub = jax.random.split(key)
         sb = shard_batch(hb, mesh)
         state, total, losses, _ = trainer.train_step(
-            state, sb, sub, amount=cfg.amount)
+            state, sb, sub, amount=cfg.amount, with_metrics=False)
         if step % 10 == 0:
             # Eval-mode forward on the same augmented batch: train-mode
             # BN/dropout starve the 0.25 peak threshold and quantize

@@ -133,7 +133,7 @@ def main():
         key, sub = jax.random.split(key)
         sb = shard_batch(hb, mesh)
         state, total, losses, _ = trainer.train_step(
-            state, sb, sub, amount=cfg.amount)
+            state, sb, sub, amount=cfg.amount, with_metrics=False)
         if step % 10 == 0:
             # Eval-mode forward on the same augmented batch: train-mode
             # BN/dropout starve the 0.25 peak threshold and quantize
