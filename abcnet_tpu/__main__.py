@@ -32,7 +32,8 @@ def _cmd_gen(args) -> None:
             sys.exit(f"error: no Smiles column in {args.smiles_csv}")
         smiles_list = [str(s) for s in df[col]]
     df = generate_dataset(args.out, args.n, seed=args.seed,
-                          mode=args.mode, smiles_list=smiles_list)
+                          mode=args.mode, smiles_list=smiles_list,
+                          engine=args.engine)
     print(f"wrote {len(df)} samples to {args.out}")
 
 
@@ -232,6 +233,10 @@ def main(argv=None) -> None:
                    help="sample count (with --smiles-csv: cap, 0 = all)")
     g.add_argument("--mode", default="mixed",
                    choices=["mixed", "rdkit", "indigo"])
+    g.add_argument("--engine", default="a", choices=["a", "b", "mix"],
+                   help="drawing program: a = PIL/TTF engine, b = "
+                        "stroke-font scanline engine, mix = per-sample "
+                        "coin flip (two-renderer corpus diversity)")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--smiles-csv",
                    help="render this SMILES corpus (CSV with a Smiles "

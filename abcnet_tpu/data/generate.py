@@ -142,8 +142,18 @@ def generate_sample(rng: random.Random, size: int = 512,
                     mode: str = "mixed",
                     max_layout_tries: int = 3,
                     smiles: Optional[str] = None,
-                    max_atoms: Optional[int] = None) -> Optional[Sample]:
+                    max_atoms: Optional[int] = None,
+                    engine: str = "a") -> Optional[Sample]:
     """Generate one (image, labels, smiles) sample, or None on rejection.
+
+    ``engine`` selects the drawing program: "a" (data/render.py, the
+    PIL/TTF engine), "b" (data/render2.py, the stroke-font scanline
+    engine), or "mix" (coin flip per sample) — the two-renderer pixel
+    diversity of the reference's RDKit-SVG vs Indigo-PNG corpus
+    (rdkit_img_generate.py:89-126 vs indigo_img_generator.py:51-294).
+    ``mode`` (rdkit/indigo) stays independent: it controls the LABEL
+    RECORD lineage (kekulized vs aromatic bond records), so all four
+    mode x engine combinations are valid.
 
     smiles=None draws a random molecule; a given SMILES renders that
     molecule instead — the reference's given-corpus mode
@@ -198,6 +208,9 @@ def generate_sample(rng: random.Random, size: int = 512,
         # H neighbors would change the reference order under the tags)
         render_mol = _add_explicit_hs(mol, rng)
 
+    if engine == "mix":
+        engine = "a" if rng.random() < 0.5 else "b"
+
     result: Optional[RenderResult] = None
     for t in range(max_layout_tries):
         coords = layout(render_mol, random.Random(rng.getrandbits(32)))
@@ -205,9 +218,15 @@ def generate_sample(rng: random.Random, size: int = 512,
             for b in render_mol.bonds:   # re-chosen per layout try
                 b.stereo = STEREO_NONE
             _wedges_from_parities(render_mol, coords)
-        style = RenderStyle.random(rng, size)
-        result = render(render_mol, coords, style, rng,
-                        aromatic_render=aromatic_records)
+        if engine == "b":
+            from .render2 import RenderStyleB, render_b
+            result = render_b(render_mol, coords,
+                              RenderStyleB.random(rng, size), rng,
+                              aromatic_render=aromatic_records)
+        else:
+            style = RenderStyle.random(rng, size)
+            result = render(render_mol, coords, style, rng,
+                            aromatic_render=aromatic_records)
         if result is not None and _stereo_ambiguous(render_mol, result):
             # Near-vertical wedge bonds sit on the omega direction-bit
             # margin (encode.py direction canonicalization); re-rotate.
@@ -359,7 +378,8 @@ def _bonds_string(mol: Mol, result: RenderResult,
 def generate_dataset(out_dir: str, n: int, seed: int = 0,
                      mode: str = "mixed", size: int = 512,
                      verbose: bool = True,
-                     smiles_list: Optional[List[str]] = None) -> "object":
+                     smiles_list: Optional[List[str]] = None,
+                     engine: str = "a") -> "object":
     """Generate a dataset tree + CSV; returns the DataFrame.
 
     smiles_list renders a GIVEN corpus instead of random molecules —
@@ -385,7 +405,8 @@ def generate_dataset(out_dir: str, n: int, seed: int = 0,
         else:
             smi = None
         attempt += 1
-        sample = generate_sample(rng, size=size, mode=mode, smiles=smi)
+        sample = generate_sample(rng, size=size, mode=mode, smiles=smi,
+                                 engine=engine)
         if sample is None:
             continue
         m = made % 100
