@@ -74,8 +74,17 @@ def _geometric_augment(img_u8: np.ndarray, rng: random.Random,
 
 
 def sample_to_example(sample: Sample, rng: random.Random,
-                      train: bool = True) -> Example:
+                      train: bool = True,
+                      degrade_p: float = 0.0) -> Example:
+    """degrade_p > 0 applies one scan-style degradation (blur / erode /
+    downscale / JPEG, data/degrade.py) to that fraction of training
+    images — after the geometric augment, before binarization; label
+    coordinates are unaffected. Default 0 keeps the reference's
+    salt/pepper-only training recipe (src/utils.py:73-80)."""
     img, p = _geometric_augment(sample.image, rng, train)
+    if train and degrade_p > 0 and rng.random() < degrade_p:
+        from .degrade import random_degrade
+        img = random_degrade(img, rng)
     atoms = parse_atoms_string(sample.atoms_string)
     bonds = parse_bonds_string(sample.bonds_string)
     labels = compact_labels(atoms, bonds, p.scale_x, p.scale_y,
@@ -238,7 +247,8 @@ def load_inference_csv(csv_path: str, image_root: Optional[str] = None,
 def batches_from_samples(samples: Sequence[Sample], batch_size: int,
                          seed: int = 0, epoch: int = 0,
                          train: bool = True,
-                         drop_remainder: bool = True
+                         drop_remainder: bool = True,
+                         degrade_p: float = 0.0
                          ) -> Iterator[Dict[str, np.ndarray]]:
     """Per-epoch batches with FRESH augmentation — the reference's
     dataloader re-runs __getitem__ (and so the random rescale/pad)
@@ -248,7 +258,8 @@ def batches_from_samples(samples: Sequence[Sample], batch_size: int,
     order = np.random.default_rng(seed + epoch).permutation(len(samples))
     stop = len(order) - batch_size + 1 if drop_remainder else len(order)
     for i in range(0, max(stop, 0), batch_size):
-        ex = [sample_to_example(samples[j], rng, train=train)
+        ex = [sample_to_example(samples[j], rng, train=train,
+                                degrade_p=degrade_p)
               for j in order[i:i + batch_size]]
         yield collate(ex)
 

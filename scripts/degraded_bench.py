@@ -12,7 +12,6 @@ pipeline's accuracy per degradation next to the clean number
 Usage: python scripts/degraded_bench.py [n] [ckpt_dir]
 """
 
-import io
 import os
 import random
 import sys
@@ -21,8 +20,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-from PIL import Image, ImageFilter
 
+from abcnet_tpu.data.degrade import (blur, downscale, erode_strokes,
+                                     gray_scan, jpeg)
 from abcnet_tpu.data.generate import generate_sample
 from abcnet_tpu.eval.scoring import score_pairs
 from abcnet_tpu.infer import assemble_batch
@@ -32,46 +32,8 @@ from abcnet_tpu.train import trainer
 BATCH = 16
 
 
-def _pil(img):
-    return Image.fromarray(img)
-
-
-def _np(img):
-    return np.asarray(img, np.uint8)
-
-
-def downscale(img, to):
-    size = img.shape[0]
-    small = _pil(img).resize((to, to), Image.BILINEAR)
-    return _np(small.resize((size, size), Image.BILINEAR))
-
-
-def blur(img, radius):
-    return _np(_pil(img).filter(ImageFilter.GaussianBlur(radius)))
-
-
-def jpeg(img, quality):
-    buf = io.BytesIO()
-    _pil(img).save(buf, format="JPEG", quality=quality)
-    buf.seek(0)
-    return _np(Image.open(buf).convert("L"))
-
-
-def erode_strokes(img):
-    # strokes are dark: a max filter thins them by one pixel ring
-    return _np(_pil(img).filter(ImageFilter.MaxFilter(3)))
-
-
-def gray_scan(img):
-    """Low-contrast 'scan': MID-GRAY background (~0.5), dark strokes
-    (~0.1) — the default 0.6 threshold floods the page (background
-    < 0.6 counts as foreground) while the reference's scanned-set
-    threshold 0.2 keeps only the strokes (utils_for_test.py:23)."""
-    f = img.astype(np.float32) / 255.0
-    out = np.where(f < 0.5, 0.08 + 0.06 * f, 0.46 + 0.08 * f)
-    return (out * 255).astype(np.uint8)
-
-
+# Transforms live in abcnet_tpu/data/degrade.py (shared with the
+# degrade_p training augmentation).
 # name -> (transform, binarize threshold)
 VARIANTS = [
     ("clean", lambda im: im, 0.6),
