@@ -198,6 +198,70 @@ def kekulize(mol: Mol) -> None:
         mol.bonds[bi].order = 2
 
 
+def kekule_matchings(mol: Mol, limit: int = 4):
+    """Enumerate up to ``limit`` DISTINCT kekule assignments of the
+    aromatic system, as lists of bond indices that receive order 2.
+
+    kekulize() commits to the first perfect matching its backtracking
+    finds; tautomer enumeration needs the alternatives too — e.g.
+    2-hydroxypyridine's O-H can only 1,3-shift onto the ring N through
+    the kekule structure with C2=N1, and whether the first matching has
+    that bond is an accident of bond ordering. Returns [] when the
+    molecule has no aromatic system.
+    """
+    arom_bonds = [i for i, b in enumerate(mol.bonds) if b.aromatic]
+    if not arom_bonds:
+        return []
+    arom_atoms = sorted({a for i in arom_bonds
+                         for a in (mol.bonds[i].a, mol.bonds[i].b)})
+    need_atoms = [a for a in arom_atoms if _needs_pi_bond(mol, a)]
+    if not need_atoms:
+        return [[]]
+    need_set = set(need_atoms)
+    adj = {a: [] for a in need_atoms}
+    for bi in arom_bonds:
+        b = mol.bonds[bi]
+        if b.a in need_set and b.b in need_set:
+            adj[b.a].append((b.b, bi))
+            adj[b.b].append((b.a, bi))
+
+    out = []
+    matched = {}
+
+    def backtrack(i: int) -> bool:
+        """Returns True when the enumeration hit ``limit``."""
+        while i < len(need_atoms) and need_atoms[i] in matched:
+            i += 1
+        if i >= len(need_atoms):
+            sol = sorted({bi for (_, bi) in matched.values()})
+            if sol not in out:
+                out.append(sol)
+            return len(out) >= limit
+        v = need_atoms[i]
+        for (u, bi) in adj[v]:
+            if u in matched:
+                continue
+            matched[v] = (u, bi)
+            matched[u] = (v, bi)
+            if backtrack(i + 1):
+                return True
+            del matched[v]
+            del matched[u]
+        return False
+
+    backtrack(0)
+    return out
+
+
+def apply_kekule_matching(mol: Mol, matching) -> None:
+    """Set aromatic-system bond orders from a kekule_matchings() entry
+    (aromatic flags are left to the caller)."""
+    ms = set(matching)
+    for i, b in enumerate(mol.bonds):
+        if b.aromatic:
+            b.order = 2 if i in ms else 1
+
+
 def _needs_pi_bond(mol: Mol, idx: int) -> bool:
     atom = mol.atoms[idx]
     sym = atom.symbol

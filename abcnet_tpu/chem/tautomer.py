@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Set, Tuple
 
-from .aromaticity import kekulize, perceive_aromaticity
+from .aromaticity import (apply_kekule_matching, kekule_matchings,
+                          perceive_aromaticity)
 from .mol import Mol
 from .smiles import from_smiles, to_smiles
 
@@ -100,6 +101,19 @@ def _score(mol: Mol) -> int:
 
 def canonical_tautomer(mol: Mol) -> Mol:
     """Enumerate tautomers (bounded BFS) and return the canonical one."""
+    best, _ = _enumerate(mol)
+    return best if best is not None else mol
+
+
+def enumerate_tautomer_smiles(mol: Mol) -> Set[str]:
+    """All tautomer canonical-SMILES visited by the bounded BFS —
+    the measurement surface for bounding metric-1 divergence
+    (scripts/tautomer_divergence.py)."""
+    _, seen = _enumerate(mol)
+    return seen
+
+
+def _enumerate(mol: Mol) -> Tuple[Optional[Mol], Set[str]]:
     try:
         start = mol.copy()
         perceive_aromaticity(start)
@@ -123,25 +137,37 @@ def canonical_tautomer(mol: Mol) -> Mol:
             best = (key, cur)
         if depth >= MAX_DEPTH:
             continue
-        # Work on a kekulized copy so ring bonds expose explicit orders.
+        # Work on kekulized copies so ring bonds expose explicit orders.
         # Clearing the aromatic flags (only when kekulization succeeded)
         # lets _shift_moves walk INTO former-aromatic rings — this is
         # what realizes azole NH annular tautomerism (imidazole N1-H ->
         # N3-H is a 1,3-shift over the kekule structure) and lets the
         # enumerator visit e.g. phenol's cyclohexadienone form, which
         # _score then rejects (-100 for the lost aromatic ring).
-        work = cur.copy()
+        # ALL kekule variants are expanded, not just the first: e.g.
+        # 2-hydroxypyridine -> 2-pyridone needs the C2=N1 structure,
+        # which the deterministic matching may or may not pick.
+        works: List[Mol] = []
+        variants = []
         try:
-            kekulize(work)
-            for atom in work.atoms:
-                atom.aromatic = False
-            for bond in work.bonds:
-                bond.aromatic = False
+            variants = kekule_matchings(cur, limit=4)
         except Exception:
-            work = cur
-        for move in _shift_moves(work):
-            queue.append((_apply(work, move), depth + 1))
-    return best[1] if best[1] is not None else mol
+            pass
+        if variants:
+            for matching in variants:
+                work = cur.copy()
+                apply_kekule_matching(work, matching)
+                for atom in work.atoms:
+                    atom.aromatic = False
+                for bond in work.bonds:
+                    bond.aromatic = False
+                works.append(work)
+        else:
+            works.append(cur)
+        for work in works:
+            for move in _shift_moves(work):
+                queue.append((_apply(work, move), depth + 1))
+    return best[1], seen
 
 
 def canonicalize_tautomer_smiles(smiles: str) -> Optional[str]:
