@@ -73,6 +73,40 @@ print(f"MHOK {{pid}} {{val:.6f}}", flush=True)
 """
 
 
+_INFER_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(sys.argv[2], num_processes=2, process_id=pid)
+import numpy as np
+sys.path.insert(0, {repo!r})
+from jax.sharding import NamedSharding, PartitionSpec as P
+from abcnet_tpu.infer.decode import make_infer_pipeline
+from abcnet_tpu.parallel import make_mesh, replicate_tree
+from abcnet_tpu.train import trainer
+mesh = make_mesh()
+cfg = trainer.TrainConfig(batch_size=4, dtype="float32")
+state = replicate_tree(trainer.create_state(cfg), mesh)  # same seed everywhere
+run = make_infer_pipeline(state, mesh=mesh, threshold=0.6, sparse=True)
+# Each process contributes its local half of the global batch of 4
+# (the reference's multi-GPU batched-inference role,
+# multi_proc_img2smiles2.py:268-308). Deterministic per-rank images.
+rng = np.random.default_rng(100 + pid)
+local = (rng.random((2, 64, 64)) * 255).astype(np.uint8)
+peaks = run(local)
+# Reduce to replicated scalars inside jit: peak arrays are globally
+# sharded over batch, so per-process fetch of the full array is not
+# addressable — but a psum'd summary is, and must agree bit-exactly.
+summ = jax.jit(lambda p: (p["atom_score"].sum(), p["bond_score"].sum(),
+                          p["atom_valid"].sum()),
+               out_shardings=NamedSharding(mesh, P()))(peaks)
+a, b, v = (float(x) for x in jax.block_until_ready(summ))
+print(f"MHOK {{pid}} {{a:.6f}}/{{b:.6f}}/{{v:.0f}}", flush=True)
+"""
+
+
 def _run_two(worker_src: str, port: int, timeout: int):
     src = worker_src.format(repo=_REPO)
     addr = f"localhost:{port}"
@@ -98,6 +132,15 @@ def _run_two(worker_src: str, port: int, timeout: int):
 def test_two_process_mesh_and_collectives():
     lines = _run_two(_COLLECTIVE_WORKER, 12851, timeout=240)
     assert len(lines) == 2
+
+
+def test_two_process_sharded_inference():
+    """2-process make_infer_pipeline over the global mesh: both ranks
+    must agree bit-exactly on the replicated peak summaries (VERDICT r3
+    next #9)."""
+    lines = _run_two(_INFER_WORKER, 12855, timeout=600)
+    sums = {ln.split()[2] for ln in lines}
+    assert len(sums) == 1, f"ranks disagree: {lines}"
 
 
 @pytest.mark.slow
