@@ -142,10 +142,14 @@ def _graph_to_smiles_once(types, charges, positions, hs, bond_pairs_1b,
 def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
                            overshoot_cap: float = OVERSHOOT_CAP,
                            subcell: bool = True) -> Optional[str]:
-    """C++ fast path: graph assembly in native code (native/assemble.cpp),
-    MolBlock/SMILES in the chem stack. Falls back to the numpy path when
-    the shared library is not built."""
-    from .native import assemble_graph_native, load_native
+    """C++ fast path: graph assembly AND the canonical-SMILES tail in
+    native code (native/assemble.cpp + native/smiles.cpp — the decode
+    profile puts to_smiles at ~68% of host assembly). Falls back to the
+    numpy/chem-stack path when the shared library is not built;
+    test_native_smiles.py asserts exact string agreement between the
+    two."""
+    from .native import (assemble_graph_native, graph_to_smiles_native,
+                         load_native)
     if load_native() is None:
         return assemble_smiles(peaks, index, overshoot_cap=overshoot_cap,
                                subcell=subcell)
@@ -153,12 +157,8 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
     if out is None:
         return None
     pos, a_type, a_charge, a_hs, bonds, b_orders = out
-    types = [vocab.ATOM_DEVOCAB[int(t)] for t in a_type]
-    charges = [vocab.CHARGE_DEVOCAB[int(c)] for c in a_charge]
-    return _graph_to_smiles(types, charges, pos.tolist(),
-                            [int(h) for h in a_hs],
-                            [[int(a) + 1, int(b) + 1] for a, b in bonds],
-                            [int(o) for o in b_orders])
+    return graph_to_smiles_native(pos, a_type, a_charge, a_hs,
+                                  bonds, b_orders)
 
 
 def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,

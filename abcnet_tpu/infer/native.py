@@ -30,7 +30,7 @@ _F64P = ctypes.POINTER(ctypes.c_double)
 # .so built before a signature change loads fine under ctypes and
 # silently ignores trailing arguments (x86-64 calling convention), so
 # version-gate instead of trusting the file.
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 @functools.lru_cache(maxsize=1)
@@ -58,11 +58,61 @@ def load_native() -> Optional[ctypes.CDLL]:
         _F64P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P,
         ctypes.c_double, _F32P, _F32P,
     ]
+    lib.graph_to_smiles.restype = ctypes.c_int32
+    lib.graph_to_smiles.argtypes = [
+        _F64P, _I32P, _I32P, _I32P, ctypes.c_int32,
+        _I32P, _I32P, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int32,
+    ]
     return lib
 
 
 def _p(arr, typ):
     return arr.ctypes.data_as(typ)
+
+
+def graph_to_smiles_native(pos: np.ndarray, type_cls: np.ndarray,
+                           charge_cls: np.ndarray, hs: np.ndarray,
+                           bond_pairs: np.ndarray, orders: np.ndarray,
+                           perceive_stereo: bool = True,
+                           salvage_aromatic: bool = True) -> Optional[str]:
+    """C++ canonical-SMILES tail (native/smiles.cpp): decoded graph ->
+    molblock semantics -> sanitize -> stereo -> canonical isomeric
+    SMILES. Inputs use assemble_graph's output conventions (0-based bond
+    indices, molblock orders 1..6). Returns None both when the molecule
+    is rejected (parity with the Python path returning None) and when
+    the library is unavailable — callers distinguish via load_native().
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.float64)
+    type_cls = np.ascontiguousarray(type_cls, np.int32)
+    charge_cls = np.ascontiguousarray(charge_cls, np.int32)
+    hs = np.ascontiguousarray(hs, np.int32)
+    bond_pairs = np.ascontiguousarray(bond_pairs, np.int32)
+    orders = np.ascontiguousarray(orders, np.int32)
+    na = np.int32(type_cls.shape[0])
+    nb = np.int32(orders.shape[0])
+    cap = 4096
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.graph_to_smiles(
+        _p(pos, _F64P), _p(type_cls, _I32P), _p(charge_cls, _I32P),
+        _p(hs, _I32P), na, _p(bond_pairs, _I32P), _p(orders, _I32P), nb,
+        np.int32(1 if perceive_stereo else 0),
+        np.int32(1 if salvage_aromatic else 0), buf, np.int32(cap))
+    if n == -2:  # buffer too small: retry once with a generous cap
+        cap = 1 << 20
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.graph_to_smiles(
+            _p(pos, _F64P), _p(type_cls, _I32P), _p(charge_cls, _I32P),
+            _p(hs, _I32P), na, _p(bond_pairs, _I32P), _p(orders, _I32P),
+            nb, np.int32(1 if perceive_stereo else 0),
+            np.int32(1 if salvage_aromatic else 0), buf, np.int32(cap))
+    if n < 0:
+        return None
+    return buf.value.decode("ascii")
 
 
 def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,

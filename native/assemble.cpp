@@ -73,7 +73,7 @@ extern "C" {
 // load fine and silently ignore trailing arguments on x86-64).
 // History: 1 = original assemble_graph; 2 = + overshoot_cap double;
 // 3 = + nullable atom_sub/bond_sub float32 sub-cell offset arrays.
-int32_t abcnet_native_abi_version(void) { return 3; }
+int32_t abcnet_native_abi_version(void) { return 4; }
 
 // Assemble one image's peaks into a molecular graph.
 //

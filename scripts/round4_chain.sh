@@ -1,0 +1,101 @@
+#!/bin/bash
+# Round-4 chip schedule. Runs the owed measurement queue, then the
+# robustness fine-tune, then the post-ft evals — back-to-back so the
+# single TPU chip never idles once the axon tunnel returns.
+#
+#   stage 0: bench.py                      (driver-green perf evidence)
+#   stage 1: scripts/final_eval.py 256     (owed fresh-seed eval, prod)
+#   stage 2: scripts/profile_blocks.py 128 (conv-backward localization)
+#   stage 3: scripts/finetune_robust.py    (degradation + engine-B ft)
+#   stage 4: scripts/degraded_bench.py     on weights_robust
+#   stage 5: scripts/final_eval.py 256     on weights_robust (clean)
+#   stage 6: scripts/cross_engine_eval.py  on weights_robust + prod
+#
+# Every stage has a stall watchdog (the tunnel can hang a process
+# mid-run; checkpoints + the disk pool make kill-and-relaunch cheap).
+# Fine-tune stage gets a relaunch loop; measurement stages run once
+# with a single retry.
+#
+# Usage: bash scripts/round4_chain.sh [ft_hours=3.0]
+
+set -u
+FT_H=${1:-3.0}
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+LOG=/tmp/round4_chain.log
+STALL_S=600
+
+note() { echo "CHAIN[$(date -u +%H:%M:%S)]: $*" >> "$LOG"; }
+
+run_once() {  # run_once <logfile> <cmd...>
+  local SLOG=$1; shift
+  ( cd "$REPO" && python -u "$@" ) >> "$SLOG" 2>&1 &
+  local PID=$!
+  echo "$PID" > /tmp/round4_stage.pid
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 60
+    local AGE=$(( $(date +%s) - $(stat -c %Y "$SLOG" 2>/dev/null || echo 0) ))
+    if [ "$AGE" -gt "$STALL_S" ]; then
+      note "stall ${AGE}s in $*, killing $PID"
+      kill -9 "$PID" 2>/dev/null
+      sleep 5
+      return 1
+    fi
+  done
+  wait "$PID" 2>/dev/null
+  return $?
+}
+
+measure() {  # measure <name> <logfile> <cmd...> -- run once, retry once
+  local NAME=$1 SLOG=$2; shift 2
+  note "stage $NAME start -> $SLOG"
+  if ! run_once "$SLOG" "$@"; then
+    note "stage $NAME retry"
+    run_once "$SLOG" "$@" || note "stage $NAME FAILED twice"
+  fi
+  note "stage $NAME done"
+}
+
+mkdir -p "$REPO/logs"
+note "===== round-4 chain start (ft ${FT_H}h) ====="
+
+# Stage 0: bench (fail-soft JSON; also proves the tunnel genuinely works).
+measure bench "$REPO/logs/bench_r4.log" bench.py
+
+# If bench reported an error field, the tunnel is not actually usable —
+# bail out so the watcher can re-trigger us later.
+if tail -3 "$REPO/logs/bench_r4.log" | grep -q '"error"'; then
+  note "bench reported backend error; aborting chain for re-trigger"
+  exit 1
+fi
+
+# Stage 1: owed fresh-seed final_eval on production step-64150 weights.
+measure final_eval_prod "$REPO/logs/final_eval_r4_prod.log" \
+  scripts/final_eval.py 256
+
+# Stage 2: per-block fwd+bwd profile (conv-backward hog localization).
+measure profile_blocks "$REPO/logs/profile_blocks_r4.log" \
+  scripts/profile_blocks.py 128
+
+# Stage 3: robustness fine-tune with relaunch-on-stall until deadline.
+DEADLINE=$(( $(date +%s) + $(python3 -c "print(int($FT_H*3600))") ))
+note "stage finetune_robust until $DEADLINE"
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  run_once "$REPO/logs/ft_robust_r4.log" scripts/finetune_robust.py "$DEADLINE"
+  if tail -5 "$REPO/logs/ft_robust_r4.log" | grep -q "FINAL"; then
+    break
+  fi
+  note "finetune_robust relaunch"
+done
+note "stage finetune_robust done"
+
+# Stages 4-6: post-ft evals (robust weights), then cross-engine on both.
+measure degraded_robust "$REPO/logs/degraded_r4_robust.log" \
+  scripts/degraded_bench.py 128 weights_robust
+measure final_eval_robust "$REPO/logs/final_eval_r4_robust.log" \
+  scripts/final_eval.py 256 weights_robust
+measure cross_engine_robust "$REPO/logs/cross_engine_r4_robust.log" \
+  scripts/cross_engine_eval.py 256 weights_robust
+measure cross_engine_prod "$REPO/logs/cross_engine_r4_prod.log" \
+  scripts/cross_engine_eval.py 256
+
+note "===== round-4 chain COMPLETE ====="
