@@ -163,7 +163,19 @@ def _cmd_cal_acc(args) -> None:
     df = pd.read_csv(args.results)
     preds = [p if isinstance(p, str) and p else None
              for p in df["smiles_pred"]]
-    print(score_pairs(list(df["smiles"]), preds))
+    # InChI ground truth: the reference's multiprocessing decoder scores
+    # against an 'InChI' column converted through inchi2smiles
+    # (multi_proc_img2smiles2.py:329-352). Same here, via the from-
+    # scratch reader (chem/inchi.py).
+    if "smiles" in df.columns:
+        truths = list(df["smiles"])
+    elif "InChI" in df.columns:
+        from .chem.inchi import inchi_to_smiles
+        truths = [inchi_to_smiles(x) if isinstance(x, str) else None
+                  for x in df["InChI"]]
+    else:
+        raise SystemExit("results csv needs a 'smiles' or 'InChI' column")
+    print(score_pairs(truths, preds))
 
 
 def _cmd_test_acc(args) -> None:

@@ -15,6 +15,14 @@ ATOMIC_NUMBERS = {
     "H": 1, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9,
     "Si": 14, "P": 15, "S": 16, "Cl": 17, "Ca": 20, "Zn": 30,
     "Se": 34, "Br": 35, "Ag": 47, "I": 53, "Te": 52, "As": 33, "Al": 13,
+    # Salt counterions seen in external ground truth (ChEMBL-style
+    # corpora ingested via SMILES or InChI, chem/inchi.py). No entry in
+    # DEFAULT_VALENCES = no implicit hydrogens = bracket-atom semantics,
+    # which is exactly right for bare metal ions.
+    "Li": 3, "Na": 11, "Mg": 12, "K": 19, "Mn": 25, "Fe": 26, "Co": 27,
+    "Ni": 28, "Cu": 29, "Rb": 37, "Sr": 38, "Pd": 46, "Cd": 48,
+    "Sn": 50, "Sb": 51, "Cs": 55, "Ba": 56, "Pt": 78, "Au": 79,
+    "Hg": 80, "Pb": 82, "Bi": 83,
 }
 
 SYMBOLS = {v: k for k, v in ATOMIC_NUMBERS.items()}
