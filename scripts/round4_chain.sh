@@ -76,6 +76,11 @@ measure final_eval_prod "$REPO/logs/final_eval_r4_prod.log" \
 measure profile_blocks "$REPO/logs/profile_blocks_r4.log" \
   scripts/profile_blocks.py 128
 
+# Stage 2b: train-metric 2x2 on the REAL chip (TPU rbg dropout bits are
+# the one starvation suspect the CPU diagnosis cannot exercise).
+measure diag_metric_chip "$REPO/logs/diag_metric_chip_r4.log" \
+  scripts/diag_train_metric.py 2 128
+
 # Stage 3: robustness fine-tune with relaunch-on-stall until deadline.
 DEADLINE=$(( $(date +%s) + $(python3 -c "print(int($FT_H*3600))") ))
 note "stage finetune_robust until $DEADLINE"
