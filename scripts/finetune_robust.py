@@ -35,9 +35,9 @@ from abcnet_tpu.parallel import make_mesh, replicate_tree, shard_batch
 from abcnet_tpu.train import trainer
 from abcnet_tpu.train.metrics import MeterBank
 
-EVAL_N = 256          # same held-out split as train_r2_full.py
-EVAL_BATCH = 16
-BATCH = 128
+EVAL_N = int(os.environ.get("FT_EVAL_N", 256))  # held-out split as in
+EVAL_BATCH = 16                                 # train_r2_full.py
+BATCH = int(os.environ.get("FT_BATCH", 128))
 LR = 2.5e-5
 DEGRADE_P = 0.35      # fraction of train images degraded
 B_FRAC = 0.25         # fraction of each batch from the engine-B pool
@@ -56,12 +56,16 @@ def main():
         "/root/repo/data_cache/pool_90k.npz"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src_ckpt = os.path.join(repo, "weights")
-    out_ckpt = os.path.join(repo, "weights_robust")
+    # argv[3]/argv[4]: engine-B pool and output checkpoint dir overrides
+    # (used by the CPU smoke drive so it can't pollute the real run).
+    out_ckpt = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+        repo, "weights_robust")
 
-    b_pool_path = os.path.join(repo, "data_cache",
-                               f"pool_b_{B_POOL_N // 1000}k.npz")
-    ensure_pool(b_pool_path, B_POOL_N, sample_fn=_gen_b, seed=31)
-    b_samples = load_pool(b_pool_path)
+    b_pool_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        repo, "data_cache", f"pool_b_{B_POOL_N // 1000}k.npz")
+    b_pool_n = B_POOL_N if len(sys.argv) <= 3 else 64
+    b_samples = ensure_pool(b_pool_path, b_pool_n, sample_fn=_gen_b,
+                            seed=31)
 
     samples = load_pool(pool_path)
     eval_samples = samples[:EVAL_N]

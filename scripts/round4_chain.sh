@@ -76,6 +76,12 @@ measure final_eval_prod "$REPO/logs/final_eval_r4_prod.log" \
 measure profile_blocks "$REPO/logs/profile_blocks_r4.log" \
   scripts/profile_blocks.py 128
 
+# Stage 2a: stage-split profile at the production batch (the
+# forward/loss/grads/adam decomposition that pairs with the per-block
+# numbers above).
+measure profile_step "$REPO/logs/profile_step_r4.log" \
+  scripts/profile_step.py 128 null,targets,forward,fwdloss,grads,adam,step
+
 # Stage 2b: train-metric 2x2 on the REAL chip (TPU rbg dropout bits are
 # the one starvation suspect the CPU diagnosis cannot exercise).
 measure diag_metric_chip "$REPO/logs/diag_metric_chip_r4.log" \
