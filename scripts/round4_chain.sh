@@ -72,6 +72,15 @@ fi
 measure final_eval_prod "$REPO/logs/final_eval_r4_prod.log" \
   scripts/final_eval.py 256
 
+# Stage 1b: bucket the fresh final_eval failures (struct/stereo/decode0)
+# — with the stride-2 ceiling measured at 0.985, the mixed-corpus
+# headroom must be explained by failure class, not grid resolution.
+LATEST_CSV=$(ls -t "$REPO"/logs/final_eval_step*.csv 2>/dev/null | head -1)
+if [ -n "$LATEST_CSV" ]; then
+  measure classify "$REPO/logs/classify_r4.log" \
+    scripts/classify_results.py "$LATEST_CSV"
+fi
+
 # Stage 2: per-block fwd+bwd profile (conv-backward hog localization).
 measure profile_blocks "$REPO/logs/profile_blocks_r4.log" \
   scripts/profile_blocks.py 128
