@@ -34,7 +34,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from . import periodic
 from .mol import Atom, Mol, MolError
 
-__all__ = ["parse_inchi", "inchi_to_smiles", "InchiError"]
+__all__ = ["parse_inchi", "inchi_to_smiles", "write_inchi",
+           "smiles_to_inchi", "InchiError"]
 
 
 class InchiError(MolError):
@@ -418,24 +419,79 @@ def _perceive(symbols: List[str], h: List[int],
             return None
         return charges, orders
 
-    # Depth 0..: number of charged sites beyond the minimum.
+    # Forced-pattern pre-pass, keeping the general search small:
+    #   * N with more bonds+H than its neutral valence -> +1 (quaternary
+    #     N, N-oxide nitrogen);
+    #   * nitro (N with >=2 terminal O, no H anywhere) -> N+ and one O-
+    #     (InChI software reconstructs nitro charge-separated too).
+    # Without this, a poly-nitro molecule needs 2 placed charges per
+    # group and the subset search exhausts its node budget.
+    adj_atoms: List[List[int]] = [[] for _ in range(n)]
+    for a, b in bonds:
+        adj_atoms[a - 1].append(b - 1)
+        adj_atoms[b - 1].append(a - 1)
+    forced: List[Tuple[int, int]] = []
+    forced_set = set()
+
+    def force(i: int, c: int) -> None:
+        if i not in forced_set:
+            forced.append((i, c))
+            forced_set.add(i)
+
+    for i in range(n):
+        if symbols[i] != "N":
+            continue
+        if deg[i + 1] + h[i + 1] > 3:
+            force(i, +1)
+            continue
+        if deg[i + 1] == 3 and h[i + 1] == 0:
+            term_o = sorted(
+                j for j in adj_atoms[i]
+                if symbols[j] == "O" and deg[j + 1] == 1 and h[j + 1] == 0)
+            if len(term_o) >= 2:
+                force(i, +1)
+                force(term_o[0], -1)
+
+    if forced:
+        q_rem = q - sum(c for _, c in forced)
+        try:
+            return _search_charges(symbols, h, bonds, q_rem, deg,
+                                   unsat_options, site_rank, budget,
+                                   try_charges, n, forced, forced_set)
+        except InchiError:
+            # The pattern guess was wrong for this molecule — fall back
+            # to the unconstrained search below, with a fresh budget.
+            budget.n = _NODE_BUDGET
+
+    return _search_charges(symbols, h, bonds, q, deg, unsat_options,
+                           site_rank, budget, try_charges, n, [], set())
+
+
+def _search_charges(symbols, h, bonds, q, deg, unsat_options, site_rank,
+                    budget, try_charges, n, forced, forced_set):
+    """Iterative-deepening charge-site search around a fixed `forced`
+    assignment; q is the REMAINING charge to distribute."""
+    # Depth 0..: number of charged sites beyond the minimum. The cap
+    # must cover poly-nitro molecules (each nitro forces a +/- pair):
+    # 8 extra pairs = 4 nitro groups beyond the |q| minimum.
     min_sites = abs(q)
-    for extra_pairs in range(0, 3):
+    free_sites = [i for i in range(n) if i not in forced_set]
+    for extra_pairs in range(0, 9):
         n_sites = min_sites + 2 * extra_pairs
         if n_sites == 0:
-            res = try_charges([])
+            res = try_charges(list(forced))
             if res is not None:
                 return res
             continue
-        if n_sites > n:
+        if n_sites > len(free_sites):
             break
         # n_pos - n_neg = q, n_pos + n_neg = n_sites.
         n_pos = (n_sites + q) // 2
         n_neg = n_sites - n_pos
         if n_pos < 0 or n_neg < 0 or (n_sites + q) % 2:
             continue
-        pos_sites = sorted(range(n), key=lambda i: (site_rank(i, +1), i))
-        neg_sites = sorted(range(n), key=lambda i: (site_rank(i, -1), i))
+        pos_sites = sorted(free_sites, key=lambda i: (site_rank(i, +1), i))
+        neg_sites = sorted(free_sites, key=lambda i: (site_rank(i, -1), i))
 
         found: List[Optional[Tuple[List[int], List[int]]]] = [None]
 
@@ -444,7 +500,7 @@ def _perceive(symbols: List[str], h: List[int],
             if not budget.tick():
                 return False
             if np_left == 0 and nn_left == 0:
-                res = try_charges(chosen)
+                res = try_charges(list(forced) + chosen)
                 if res is not None:
                     found[0] = res
                     return True
@@ -580,5 +636,165 @@ def inchi_to_smiles(inchi: Optional[str]) -> Optional[str]:
         mol = parse_inchi(inchi)
         mol = mol.remove_explicit_h_atoms()
         return to_smiles(mol, canonical=True, isomeric=False)
+    except MolError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Writer (reader-compatible, non-official numbering)
+# ---------------------------------------------------------------------------
+
+def _ranges(atoms: List[int]) -> str:
+    """Compress a sorted 1-based atom list into InChI range notation."""
+    out = []
+    i = 0
+    while i < len(atoms):
+        j = i
+        while j + 1 < len(atoms) and atoms[j + 1] == atoms[j] + 1:
+            j += 1
+        out.append(str(atoms[i]) if j == i
+                   else f"{atoms[i]}-{atoms[j]}")
+        i = j + 1
+    return ",".join(out)
+
+
+def write_inchi(mol: Mol) -> str:
+    """Serialize a Mol into a reader-compatible InChI string.
+
+    The element-block numbering rule (C first, then alphabetical) is
+    honored, but WITHIN a block atoms are ordered by the chem stack's
+    canonical ranks, not by the IUPAC InChI canonicalization — and
+    mobile (tautomeric) hydrogens are written at their fixed positions
+    rather than as (Hn,...) groups. The output is therefore a valid
+    connectivity/H/charge description that parse_inchi round-trips
+    exactly, but NOT byte-identical to the official InChI of the same
+    molecule (the reference's smiles2inchi emits official strings via
+    the IUPAC library, multi_proc_img2smiles2.py:311-326; replicating
+    its normalization + canonical numbering is out of scope). Used for
+    round-trip fuzz validation of the reader and for InChI export where
+    official canonicality is not required. Stereo and isotopes are not
+    written (matching the reader's scope).
+    """
+    from .smiles import canonical_ranks, _adjacency
+
+    mol = mol.remove_explicit_h_atoms()
+    n = mol.num_atoms
+    if n == 0:
+        raise InchiError("empty molecule")
+    if any(a.symbol == "H" for a in mol.atoms):
+        # Hydrogens are never numbered atoms in InChI; charged/bridging
+        # H (e.g. a bare proton) would need /p bookkeeping this writer
+        # does not produce.
+        raise InchiError("explicit H atom not representable")
+    ranks = canonical_ranks(mol, _adjacency(mol))
+
+    # Connected components, then per-component numbering: carbons
+    # first, heteroatoms alphabetical, canonical rank within a block.
+    comp = [-1] * n
+    comps: List[List[int]] = []
+    for s in range(n):
+        if comp[s] >= 0:
+            continue
+        ci = len(comps)
+        stack, members = [s], []
+        comp[s] = ci
+        while stack:
+            a = stack.pop()
+            members.append(a)
+            for b in mol.neighbors(a):
+                if comp[b] < 0:
+                    comp[b] = ci
+                    stack.append(b)
+        comps.append(members)
+    # Component order: by formula string (deterministic).
+    def comp_formula(members: List[int]) -> str:
+        counts: Dict[str, int] = {}
+        nh = 0
+        for a in members:
+            counts[mol.atoms[a].symbol] = counts.get(
+                mol.atoms[a].symbol, 0) + 1
+            nh += mol.atoms[a].total_hs
+        parts = []
+        order = ([("C", counts["C"])] if "C" in counts else [])
+        if "C" in counts and nh:
+            order.append(("H", nh))
+        rest = sorted(k for k in counts if k not in ("C", "H"))
+        if "C" not in counts:
+            # Hill order without carbon: everything alphabetical, H
+            # merged into the element list.
+            allc = dict(counts)
+            if nh:
+                allc["H"] = allc.get("H", 0) + nh
+            order = [(k, allc[k]) for k in sorted(allc)]
+            rest = []
+        for sym, c in order + [(k, counts[k]) for k in rest]:
+            parts.append(sym + (str(c) if c > 1 else ""))
+        return "".join(parts)
+
+    comps.sort(key=lambda m: (comp_formula(m), min(ranks[a] for a in m)))
+
+    formulas, c_parts, h_parts, q_parts = [], [], [], []
+    for members in comps:
+        formulas.append(comp_formula(members))
+        order = sorted(members, key=lambda a: (
+            0 if mol.atoms[a].symbol == "C" else 1,
+            mol.atoms[a].symbol, ranks[a]))
+        num = {a: i + 1 for i, a in enumerate(order)}
+        # /c: DFS from atom 1; branches parenthesized, ring closures
+        # emitted once at first encounter from the lower-visit side.
+        visited = set()
+        emitted = set()
+
+        def visit(a: int) -> str:
+            visited.add(a)
+            nbrs = sorted(mol.neighbors(a), key=lambda b: num[b])
+            segs = []
+            for b in nbrs:
+                e = (min(a, b), max(a, b))
+                if e in emitted:
+                    continue
+                emitted.add(e)
+                if b in visited:
+                    segs.append(str(num[b]))      # ring closure
+                else:
+                    segs.append(visit(b))
+            if not segs:
+                return str(num[a])
+            return (str(num[a])
+                    + "".join(f"({s})" for s in segs[:-1])
+                    + "-" + segs[-1])
+
+        root = order[0]
+        c_parts.append(visit(root) if len(members) > 1 else None)
+        if len(visited) != len(members):
+            raise InchiError("disconnected component during /c write")
+        # /h: group by H count.
+        by_h: Dict[int, List[int]] = {}
+        for a in members:
+            th = mol.atoms[a].total_hs
+            if th > 0:
+                by_h.setdefault(th, []).append(num[a])
+        h_parts.append(",".join(
+            _ranges(sorted(by_h[c])) + "H" + (str(c) if c > 1 else "")
+            for c in sorted(by_h)) or None)
+        q = sum(mol.atoms[a].charge for a in members)
+        q_parts.append(f"{q:+d}" if q else None)
+
+    out = ["InChI=1S", ".".join(formulas)]
+    for tag, parts in (("c", c_parts), ("h", h_parts), ("q", q_parts)):
+        if any(p for p in parts):
+            out.append(tag + ";".join(p or "" for p in parts))
+    return "/".join(out)
+
+
+def smiles_to_inchi(smiles: Optional[str]) -> Optional[str]:
+    """SMILES -> reader-compatible InChI; None on failure. Role parity
+    with the reference's smiles2inchi (multi_proc_img2smiles2.py:311),
+    with the non-official-numbering caveat of write_inchi."""
+    if smiles is None:
+        return None
+    from .smiles import from_smiles
+    try:
+        return write_inchi(from_smiles(smiles))
     except MolError:
         return None

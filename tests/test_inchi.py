@@ -137,6 +137,44 @@ def test_cal_acc_inchi_column(tmp_path, capsys):
     assert "exact" in out and "1.0000" in out
 
 
+def test_inchi_writer_goldens():
+    from abcnet_tpu.chem.inchi import smiles_to_inchi
+
+    # Reader-compatible strings (non-official numbering — see
+    # write_inchi docstring); formula and layer structure must hold.
+    s = smiles_to_inchi("CCO")
+    assert s.startswith("InChI=1S/C2H6O/c") and "/h" in s
+    assert smiles_to_inchi(None) is None
+    assert smiles_to_inchi("not smiles") is None
+    assert smiles_to_inchi("C[N+](C)(C)C").endswith("/q+1")
+
+
+def test_inchi_roundtrip_fuzz():
+    """write_inchi -> parse_inchi must reproduce the molecule exactly
+    (canonical non-isomeric SMILES) on random drug-like molecules —
+    connectivity, H placement, charges and reconstructed bond orders
+    all survive the trip."""
+    import random
+
+    from abcnet_tpu.chem.inchi import write_inchi
+    from abcnet_tpu.chem.random_mol import random_molecule
+    from abcnet_tpu.chem.smiles import to_smiles
+
+    rng = random.Random(20260818)
+    mismatches = []
+    n = 200
+    for i in range(n):
+        mol = random_molecule(rng)
+        want = to_smiles(mol, canonical=True, isomeric=False)
+        inchi = write_inchi(mol)
+        got = inchi_to_smiles(inchi)
+        if got != want:
+            mismatches.append((want, got, inchi))
+    # Charge-placement reconstruction can legitimately differ on exotic
+    # zwitterions; anything beyond a stray case is a reader/writer bug.
+    assert len(mismatches) <= 2, mismatches[:5]
+
+
 def test_inchi_stereo_layers_ignored():
     # L-alanine: /t and /m layers present; non-isomeric output equals
     # the flat-SMILES canonical form.
