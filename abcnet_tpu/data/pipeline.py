@@ -149,12 +149,21 @@ def device_preprocess(image_u8: jnp.ndarray, key: jax.Array,
 
 def device_unpack_bits(image_bits: jnp.ndarray, key: jax.Array,
                        amount: float = 0.2,
-                       train: bool = True) -> jnp.ndarray:
+                       train: bool = True,
+                       use_pallas: bool = False) -> jnp.ndarray:
     """Bit-packed batch (B, H, W//8) -> float32 mask (B, H, W, 1).
 
     The binarize threshold was applied at pack time (pack_images);
-    salt/pepper noise still runs in XLA.
+    salt/pepper noise still runs in XLA. use_pallas=True routes through
+    the fused Pallas kernel (ops/pallas_input.py): one pass per image,
+    bf16 output (upcast here for caller-dtype parity), hardware PRNG
+    for the per-pixel noise bits — rate distributions identical, noise
+    stream not (documented there).
     """
+    if use_pallas:
+        from ..ops.pallas_input import fused_unpack_noise
+        return fused_unpack_noise(image_bits, key, amount=amount,
+                                  train=train).astype(jnp.float32)
     b, h, wb = image_bits.shape
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)    # MSB-first
     bits = (image_bits[..., None] >> shifts) & jnp.uint8(1)

@@ -1,0 +1,141 @@
+"""Fused training-input kernel: bit-unpack + salt/pepper -> bf16 mask.
+
+The training path ships 1-bit-packed images (pipeline.pack_images) and
+reconstructs the float foreground mask on device
+(pipeline.device_unpack_bits: unpack -> threefry/rbg noise -> f32).
+XLA materializes that mask as a (B,512,512,1) f32 buffer between the
+preprocessing fusion and the stem conv — the HBM round-trip VERDICT r3
+weak #7 names. This kernel produces the mask in ONE Pallas pass per
+image directly in bf16 (half the write), generating the noise with the
+TPU's native PRNG (pltpu.prng_random_bits) instead of counter-based
+bits, and is wired as an opt-in alternative
+(pipeline.device_unpack_bits(..., use_pallas=True)).
+
+Distribution parity, not stream parity: per-image salt/pepper RATES are
+still drawn from the caller's JAX key exactly like the XLA path
+(reference semantics src/utils.py:73-80 — salt ~ U(0, amount/100),
+pepper ~ U(0, amount) per image); only the per-pixel Bernoulli bits
+come from the hardware PRNG. Training distributions are identical; the
+exact noise pixels differ, which the reference's np-global-RNG pipeline
+never guaranteed either.
+
+Unpack strategy: lane-axis byte->bit expansion is expressed as a tiny
+one-hot f32 matmul ((512,64)@(64,512) per image, exact for byte values
+<= 255) followed by float floor-div bit extraction — this lowers
+cleanly on TPU where an int lane-repeat relayout might not, and the
+matmul is negligible MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H = 512
+WB = 64           # packed bytes per row
+W = WB * 8
+
+
+def _unpack(bits_ref):
+    bits = bits_ref[0].astype(jnp.float32)                   # (H, WB)
+    # One-hot expansion E[a, j] = (j // 8 == a): byte value lands on its
+    # eight lanes; exact in f32 for values <= 255.
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (WB, W), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (WB, W), 1)
+    expand = (j_idx // 8 == a_idx).astype(jnp.float32)       # (WB, W)
+    rep = jnp.dot(bits, expand, preferred_element_type=jnp.float32)
+
+    # Bit (7 - j%8) of each byte, via exact float floor-division.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    scale = jnp.exp2(-(7 - (lane % 8)).astype(jnp.float32))
+    return jnp.mod(jnp.floor(rep * scale), 2.0)              # {0., 1.}
+
+
+def _kernel_unpack(bits_ref, out_ref):
+    out_ref[0] = _unpack(bits_ref).astype(jnp.bfloat16)
+
+
+def _kernel_noise(seed_ref, rates_ref, bits_ref, out_ref):
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0, 0] + b)
+    ink = _unpack(bits_ref)
+    # Salt/pepper with per-image rates (reference utils.py:73-80).
+    salt_rate = rates_ref[0, 0]
+    pepper_rate = rates_ref[0, 1]
+    inv24 = jnp.float32(1.0 / (1 << 24))
+    u1 = (pltpu.prng_random_bits((H, W)) >> 8).astype(jnp.float32) * inv24
+    u2 = (pltpu.prng_random_bits((H, W)) >> 8).astype(jnp.float32) * inv24
+    keep = jnp.maximum(ink, (u1 < salt_rate).astype(jnp.float32))
+    keep = keep * (u2 >= pepper_rate).astype(jnp.float32)
+    out_ref[0] = keep.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("train", "amount"))
+def fused_unpack_noise(image_bits: jnp.ndarray, key: jax.Array,
+                       amount: float = 0.2,
+                       train: bool = True) -> jnp.ndarray:
+    """(B, 512, 64) uint8 packed bits -> (B, 512, 512, 1) bf16 mask.
+
+    Rate draws replicate pipeline._apply_noise exactly (two U(0,1) per
+    image scaled by amount/100 and amount); eval mode (train=False or
+    amount=0) zeroes both rates, making the kernel a pure unpack whose
+    output equals device_unpack_bits bit-for-bit (tested)."""
+    bsz = image_bits.shape[0]
+    # Mosaic is TPU-only; CPU (tests, virtual meshes) runs the unpack
+    # kernel in interpreter mode. Trace-time constant, so jit-safe.
+    on_tpu = jax.default_backend() == "tpu"
+    bits_spec = pl.BlockSpec((1, H, WB), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bsz, H, W), jnp.bfloat16)
+
+    if not (train and amount > 0):
+        out = pl.pallas_call(
+            _kernel_unpack, grid=(bsz,), in_specs=[bits_spec],
+            out_specs=out_spec, out_shape=out_shape,
+            interpret=not on_tpu,
+        )(image_bits)
+        return out[..., None]
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    salt = jax.random.uniform(k1, (bsz, 1)) * (amount / 100.0)
+    pepper = jax.random.uniform(k2, (bsz, 1)) * amount
+
+    if not on_tpu:
+        # The interpreter has no pltpu PRNG lowering: unpack in the
+        # kernel, apply the same-rate noise in XLA. TPU runs fully
+        # fused.
+        out = pl.pallas_call(
+            _kernel_unpack, grid=(bsz,), in_specs=[bits_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=True,
+        )(image_bits)
+        ku1, ku2 = jax.random.split(k3)
+        u1 = jax.random.uniform(ku1, out.shape)
+        u2 = jax.random.uniform(ku2, out.shape)
+        keep = jnp.maximum(out.astype(jnp.float32),
+                           (u1 < salt[:, :, None]).astype(jnp.float32))
+        keep = keep * (u2 >= pepper[:, :, None]).astype(jnp.float32)
+        return keep.astype(jnp.bfloat16)[..., None]
+
+    seed = jax.random.randint(k3, (1, 1), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    rates = jnp.concatenate([salt, pepper], axis=1)          # (B, 2)
+    out = pl.pallas_call(
+        _kernel_noise,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            bits_spec,
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+    )(seed, rates, image_bits)
+    return out[..., None]

@@ -326,9 +326,30 @@ def _run(args) -> None:
     t0 = time.perf_counter()
     smiles = assemble_batch(host_peaks)
     assemble_dt = time.perf_counter() - t0
-    # Two-stage pipeline steady state: device computes batch i+1 while
-    # the host assembles batch i — throughput set by the slower stage.
-    e2e_ips = BATCH / max(pipe_dt / ITERS, assemble_dt)
+    # Two-stage pipeline steady state MODEL: device computes batch i+1
+    # while the host assembles batch i — throughput set by the slower
+    # stage. Kept as a diagnostic; the measured loop below is the
+    # reported number.
+    e2e_model_ips = BATCH / max(pipe_dt / ITERS, assemble_dt)
+
+    # MEASURED overlapped e2e: dispatch batch i (async under the
+    # tunnel), assemble batch i-1 on the host while the device runs,
+    # then value-fetch batch i. Exactly ITERS batches complete BOTH
+    # stages inside the timed window; the C++ assembler runs during
+    # ctypes calls with the GIL released, so host assembly genuinely
+    # overlaps device execution even on this 1-core box.
+    c = jnp.uint8(0)
+    prev = None
+    n_ok = 0
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out, c = infer_step(buffers[i % len(buffers)], c)
+        if prev is not None:
+            n_ok += sum(s is not None for s in assemble_batch(prev))
+        prev = {k: np.asarray(v) for k, v in out.items()}
+    n_ok += sum(s is not None for s in assemble_batch(prev))
+    e2e_dt = time.perf_counter() - t0
+    e2e_ips = BATCH * ITERS / e2e_dt
 
     # ---- train-step benchmark (fwd+bwd+Adam+targets) ----
     TB = args.train_batch
@@ -363,6 +384,8 @@ def _run(args) -> None:
         "vs_baseline": round(ips / REF_BASELINE_IPS, 3),
         "sync_ips": round(sync_ips, 2),
         "e2e_smiles_ips": round(e2e_ips, 2),
+        "e2e_model_ips": round(e2e_model_ips, 2),
+        "e2e_decoded_frac": round(n_ok / (BATCH * ITERS), 4),
         "host_assemble_ms_per_batch": round(assemble_dt * 1e3, 1),
         "decoded_per_batch": sum(s is not None for s in smiles),
         "implied_tflops": round(implied_tflops, 1),

@@ -96,6 +96,11 @@ measure profile_step "$REPO/logs/profile_step_r4.log" \
 measure diag_metric_chip "$REPO/logs/diag_metric_chip_r4.log" \
   scripts/diag_train_metric.py 2 128
 
+# Stage 2c: fused Pallas input kernel A/B (VERDICT r3 weak #7 candidate)
+# — first real-Mosaic compile of ops/pallas_input.py, ~2 min.
+measure pallas_input_ab "$REPO/logs/pallas_input_ab_r4.log" \
+  scripts/pallas_input_ab.py 128 10
+
 # Stage 3: robustness fine-tune with relaunch-on-stall until deadline.
 DEADLINE=$(( $(date +%s) + $(python3 -c "print(int($FT_H*3600))") ))
 note "stage finetune_robust until $DEADLINE"
