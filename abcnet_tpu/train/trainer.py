@@ -136,11 +136,17 @@ def create_state(cfg: TrainConfig, rng: Optional[jax.Array] = None,
 
 def loss_and_metrics(params, batch_stats, apply_fn, batch, rng,
                      amount: float, train: bool,
-                     with_metrics: bool = True):
-    """Single fused forward: preprocess -> targets -> model -> losses."""
+                     with_metrics: bool = True,
+                     use_pallas_input: bool = False):
+    """Single fused forward: preprocess -> targets -> model -> losses.
+
+    use_pallas_input routes preprocessing through the fused Pallas
+    kernel (ops/pallas_input.py) — opt-in, adopted only if the chip A/B
+    (scripts/pallas_input_ab.py) shows a win."""
     if "image_bits" in batch:
         images = pipeline.device_unpack_bits(batch["image_bits"], rng,
-                                             amount=amount, train=train)
+                                             amount=amount, train=train,
+                                             use_pallas=use_pallas_input)
     else:
         images = pipeline.device_preprocess(batch["image_u8"], rng,
                                             amount=amount, train=train)
@@ -166,17 +172,20 @@ def loss_and_metrics(params, batch_stats, apply_fn, batch, rng,
     return total, aux
 
 
-@functools.partial(jax.jit, static_argnames=("amount", "with_metrics"),
+@functools.partial(jax.jit,
+                   static_argnames=("amount", "with_metrics",
+                                    "use_pallas_input"),
                    donate_argnums=(0,))
 def train_step(state: TrainState, batch, rng, amount: float = 0.2,
-               with_metrics: bool = True):
+               with_metrics: bool = True,
+               use_pallas_input: bool = False):
     """One SPMD training step. with_metrics=False skips the NMS metric
     suite (a per-step cost the reference always pays, train.py:143-215);
     callers may sample metrics every k-th step instead."""
     grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
     (total, aux), grads = grad_fn(state.params, state.batch_stats,
                                   state.apply_fn, batch, rng, amount,
-                                  True, with_metrics)
+                                  True, with_metrics, use_pallas_input)
     updates, opt_state = state.tx.update(grads, state.opt_state,
                                          state.params)
     params = optax.apply_updates(state.params, updates)

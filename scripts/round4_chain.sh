@@ -123,4 +123,8 @@ measure cross_engine_robust "$REPO/logs/cross_engine_r4_robust.log" \
 measure cross_engine_prod "$REPO/logs/cross_engine_r4_prod.log" \
   scripts/cross_engine_eval.py 256
 
+# Stage 7: MFU levers (base / pallas input / grad-accum / remat-2x).
+measure mfu_levers "$REPO/logs/mfu_levers_r4.log" \
+  scripts/mfu_levers.py 128 8
+
 note "===== round-4 chain COMPLETE ====="

@@ -38,6 +38,22 @@ def test_pipeline_route_flag():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_train_step_with_pallas_input():
+    # The opt-in flag must run inside the jitted grad step (the kernel
+    # output is constant w.r.t. params, so no pallas VJP is required).
+    from abcnet_tpu.train import trainer
+
+    cfg = trainer.TrainConfig(batch_size=2)
+    state = trainer.create_state(cfg)
+    batch = pipeline.synthetic_batch(2, seed=0)
+    rng = jax.random.PRNGKey(0)
+    state2, total, losses, _ = trainer.train_step(
+        state, batch, rng, amount=0.2, with_metrics=False,
+        use_pallas_input=True)
+    assert np.isfinite(float(total))
+    assert int(state2.step) == 1
+
+
 def test_train_mode_noise_rates():
     # With amount=0.2 the expected pixel-flip rates are
     # E[salt] = amount/200 on background, E[pepper] = amount/2 on ink
