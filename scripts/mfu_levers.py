@@ -63,7 +63,12 @@ def main():
     def run(name, fn, states, bats, imgs_per_step):
         if only and name not in only:
             return
-        ms = timed(fn, states, bats, rngs, iters)
+        # Deep-copy the state per lever: every lever's step donates its
+        # input state, which would delete the shared initial buffers.
+        fresh = jax.tree_util.tree_map(
+            lambda x: jnp.array(x) if isinstance(x, jax.Array) else x,
+            states[0])
+        ms = timed(fn, [fresh], bats, rngs, iters)
         print(f"{name:10s}: {ms:8.1f} ms/step  "
               f"{imgs_per_step / (ms / 1e3):7.1f} img/s", flush=True)
 

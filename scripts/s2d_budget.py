@@ -33,9 +33,11 @@ from abcnet_tpu.parallel import make_mesh, replicate_tree, shard_batch
 from abcnet_tpu.train import trainer
 from abcnet_tpu.train.metrics import MeterBank
 
-EVAL_N = 256
+EVAL_N = int(os.environ.get("FT_EVAL_N", 256))
 EVAL_BATCH = 16
-BATCH = 64            # match train_r2_full.py for images-seen parity
+# 64 matches train_r2_full.py for images-seen parity; FT_BATCH is the
+# CPU smoke override.
+BATCH = int(os.environ.get("FT_BATCH", 64))
 
 
 def main():
@@ -44,7 +46,10 @@ def main():
     pool_path = sys.argv[2] if len(sys.argv) > 2 else \
         "/root/repo/data_cache/pool_90k.npz"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ckpt_dir = os.path.join(repo, "weights_s2d")
+    # argv[3]: checkpoint-dir override (CPU smoke drives must not leave
+    # junk a real chip run would resume from).
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        repo, "weights_s2d")
 
     samples = load_pool(pool_path)
     eval_samples = samples[:EVAL_N]
