@@ -114,6 +114,15 @@ class UNet(nn.Module):
     """
     heads: Sequence[int] = PRODUCTION_HEADS
     dtype: Any = jnp.float32
+    # Train-throughput lever (scripts/roofline.py): the 8 per-head
+    # OutConv 3x3s each re-read the shared (B,G,G,128) trunk and each
+    # contributes a separate grad map to it in backward — the single
+    # largest HBM term in the step's roofline. fused_head_bank=True
+    # computes them as ONE 128->128*n conv + ONE n*128-channel BN
+    # (BatchNorm is per-channel, so this is mathematically identical to
+    # n separate BNs over the slices) + per-head 1x1s on the slices.
+    # Checkpoints convert losslessly both ways (models/fuse_heads.py).
+    fused_head_bank: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -149,6 +158,24 @@ class UNet(nn.Module):
         out = {}
         names = HEAD_NAMES if len(self.heads) == len(HEAD_NAMES) else [
             f"head{i}" for i in range(len(self.heads))]
+        if self.fused_head_bank:
+            n = len(self.heads)
+            yb = nn.Conv(128 * n, (3, 3), padding="SAME",
+                         dtype=self.dtype, name="head_bank")(y)
+            yb = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=jnp.float32,
+                              name="head_bank_bn")(yb)
+            yb = nn.leaky_relu(yb, negative_slope=0.01).astype(self.dtype)
+            yb = nn.Dropout(0.2, deterministic=not train)(yb)
+            for i, (name, width) in enumerate(zip(names, self.heads)):
+                if dense_heads is not None and name not in dense_heads:
+                    continue
+                out[name] = nn.Conv(width, (1, 1), dtype=self.dtype,
+                                    name=f"out1_{name}")(
+                    yb[..., i * 128:(i + 1) * 128])
+            if return_features:
+                return out, y
+            return out
         for name, width in zip(names, self.heads):
             if dense_heads is not None and name not in dense_heads:
                 continue

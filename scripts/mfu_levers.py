@@ -124,6 +124,16 @@ def main():
     run("accum2", accum2, [state], batches2, 2 * B)
     run("remat2x", remat2x, [state], batches2, 2 * B)
 
+    # Fused head bank (scripts/roofline.py: the 8 OutConv 3x3s are the
+    # step's largest HBM term). Same production train_step; the model's
+    # head schedule differs, the math doesn't (tests/test_fused_heads.py).
+    if only is None or "fusedheads" in only:
+        from abcnet_tpu.models.unet import UNet
+        fused_state = trainer.create_state(
+            cfg, model=UNet(fused_head_bank=True,
+                            dtype=getattr(jnp, cfg.dtype)))
+        run("fusedheads", base, [fused_state], batches, B)
+
 
 if __name__ == "__main__":
     main()

@@ -21,8 +21,11 @@ No XLA fusion credit is taken for conv<->conv boundaries (convs cannot
 fuse through each other); BN+ReLU are assumed fully fused into the
 producing conv, which XLA does (so per-conv traffic is counted once).
 
-Usage: python scripts/roofline.py [batch=128] [peak_tflops=394]
+Usage: python scripts/roofline.py [batch=128] [peak_tflops=197]
        [peak_gbs=819]
+
+Defaults are the v5e the bench runs on: 197 bf16 TFLOP/s (394 is the
+chip's int8 number) and 819 GB/s HBM.
 """
 
 import sys
@@ -108,6 +111,6 @@ def analyze(batch, peak_tflops, peak_gbs):
 
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    tf = float(sys.argv[2]) if len(sys.argv) > 2 else 394.0
+    tf = float(sys.argv[2]) if len(sys.argv) > 2 else 197.0
     gb = float(sys.argv[3]) if len(sys.argv) > 3 else 819.0
     analyze(b, tf, gb)

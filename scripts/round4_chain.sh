@@ -127,4 +127,19 @@ measure cross_engine_prod "$REPO/logs/cross_engine_r4_prod.log" \
 measure mfu_levers "$REPO/logs/mfu_levers_r4.log" \
   scripts/mfu_levers.py 128 8
 
+# Stage 8 (opportunistic): space-to-depth stem equal-budget run — soaks
+# whatever chip time remains after the measurement queue + fine-tune.
+# Checkpoints every 2000 steps, so a round-end kill loses little; the
+# relaunch loop rides out tunnel stalls like the fine-tune stage.
+S2D_END=$(( $(date +%s) + 7200 ))
+note "stage s2d_budget until $S2D_END"
+while [ "$(date +%s)" -lt "$S2D_END" ]; do
+  run_once "$REPO/logs/s2d_r4.log" scripts/s2d_budget.py "$S2D_END"
+  if tail -5 "$REPO/logs/s2d_r4.log" | grep -q "S2D FINAL"; then
+    break
+  fi
+  note "s2d_budget relaunch"
+done
+note "stage s2d_budget done"
+
 note "===== round-4 chain COMPLETE ====="
