@@ -101,7 +101,19 @@ def pack_images(images_u8: np.ndarray, threshold: float = 0.6) -> np.ndarray:
     (observed ~batch-size bytes leaked per step), the difference between
     a multi-hour run and an OOM kill.
     """
-    ink = (images_u8.astype(np.float32) / 255.0) < threshold
+    # Exact-parity fast path: the reference predicate gray/255 < t is
+    # monotone in the uint8 value, so it equals x < cutoff where cutoff
+    # is derived by evaluating the ORIGINAL f32 predicate over all 256
+    # byte values — no 512x512xB float temp (85% of warm collate time).
+    lut = (np.arange(256, dtype=np.uint8).astype(np.float32)
+           / 255.0) < threshold
+    cutoff = int(lut.sum())
+    if cutoff <= 0:
+        ink = np.zeros(images_u8.shape, bool)
+    elif cutoff >= 256:
+        ink = np.ones(images_u8.shape, bool)
+    else:
+        ink = images_u8 < np.uint8(cutoff)
     return np.packbits(ink, axis=-1)
 
 
