@@ -88,6 +88,72 @@ def _tunnel_alive() -> bool:
         return True  # probe tooling missing: let JAX try normally
 
 
+def _chain_ancestor(pid: int) -> bool:
+    """True if `pid` is an ancestor of this process (i.e. we ARE the
+    chain's own bench stage — never pause our parent)."""
+    cur = os.getpid()
+    for _ in range(32):
+        try:
+            with open(f"/proc/{cur}/stat") as f:
+                cur = int(f.read().split(")")[-1].split()[1])
+        except Exception:
+            return False
+        if cur == pid:
+            return True
+        if cur <= 1:
+            return False
+    return False
+
+
+def _pause_chain():
+    """Priority protocol vs the chip chain (scripts/round4_chain.sh):
+    the TPU is claimed exclusively per process, so a bench started while
+    a chain stage holds it hangs at backend init (BENCH_r03's failure
+    mode must not recur). SIGSTOP the chain script (freezes its
+    relaunch loops), kill the active stage (its checkpoints bound the
+    loss), and wait for the chip to free. Returns the chain pid to
+    SIGCONT, or None."""
+    import signal
+    try:
+        with open("/tmp/round4_chain.pid") as f:
+            chain = int(f.read().strip())
+        os.kill(chain, 0)
+    except Exception:
+        return None
+    if _chain_ancestor(chain):
+        return None
+    try:
+        os.kill(chain, signal.SIGSTOP)
+    except Exception:
+        return None
+    try:
+        with open("/tmp/round4_stage.pid") as f:
+            stage = int(f.read().strip())
+        os.kill(stage, signal.SIGTERM)
+        time.sleep(3)
+        os.kill(stage, signal.SIGKILL)
+    except Exception:
+        pass
+    for _ in range(30):          # wait for the tunnel to release the chip
+        if _other_busy_python() == 0:
+            break
+        time.sleep(2)
+    print("bench: paused chip chain for exclusive measurement",
+          file=sys.stderr)
+    return chain
+
+
+def _resume_chain(chain) -> None:
+    if chain is None:
+        return
+    import signal
+    try:
+        os.kill(chain, signal.SIGCONT)
+        print("bench: resumed chip chain", file=sys.stderr)
+    except Exception:
+        pass
+
+
 def _other_busy_python() -> int:
     """Count other python processes using >20% CPU (chip/CPU contention
     invalidates the measurement; round-1's number was taken while a
@@ -154,6 +220,9 @@ def main(argv=None) -> None:
                      "(TPU tunnel down); no measurement taken",
         }))
         return
+    chain = None
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+        chain = _pause_chain()
     try:
         _run(args)
     except BaseException as e:  # incl. SystemExit from sanity bounds
@@ -164,6 +233,8 @@ def main(argv=None) -> None:
             "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}",
         }))
+    finally:
+        _resume_chain(chain)
 
 
 def _run(args) -> None:

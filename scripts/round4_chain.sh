@@ -56,6 +56,10 @@ measure() {  # measure <name> <logfile> <cmd...> -- run once, retry once
 }
 
 mkdir -p "$REPO/logs"
+# Own pid for bench.py's priority protocol: the driver's round-end
+# bench SIGSTOPs this script and kills the active stage so the chip is
+# free, then SIGCONTs us (run_once sees the dead stage and retries).
+echo $$ > /tmp/round4_chain.pid
 note "===== round-4 chain start (ft ${FT_H}h) ====="
 
 # Stage 0: bench (fail-soft JSON; also proves the tunnel genuinely works).
