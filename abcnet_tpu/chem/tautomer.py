@@ -28,21 +28,44 @@ MAX_DEPTH = 6
 _DA = {"C", "N", "O", "S"}
 
 
+def _hyperoxo(mol: Mol, i: int) -> bool:
+    """Sulfonyl/sulfinyl/nitro/phosphoryl-like center: S/N/P carrying
+    double-bonded oxygen. RDKit's TautomerEnumerator never shifts
+    through these (its transforms are element-pattern-scoped); allowing
+    them fabricates hypervalent 'enol' forms like C=S(O)(O) from
+    sulfones, which the scorer may then prefer — the dominant class of
+    measured metric-1 divergence before this guard."""
+    a = mol.atoms[i]
+    if a.symbol not in ("S", "N", "P"):
+        return False
+    for bi in mol.bond_indices_of(i):
+        b = mol.bonds[bi]
+        if b.order == 2 and mol.atoms[b.other(i)].symbol == "O" \
+                and len(mol.bond_indices_of(i)) >= 3:
+            return True
+    return False
+
+
 def _shift_moves(mol: Mol) -> List[Tuple[int, int, int, int, int]]:
     """All 1,3 H-shift moves (donor, b1, mid, b2, acceptor):
     donor(-H) -b1(single)- mid =b2(double)= acceptor  ->  H moves to
     acceptor, b1 becomes double, b2 single. Pure carbon-to-carbon
-    shifts (alkene walks) are not tautomer moves and are skipped."""
+    shifts (alkene walks) are not tautomer moves and are skipped, as
+    are moves through hyper-oxygenated S/N/P centers (see _hyperoxo)."""
     moves = []
     for d in range(mol.num_atoms):
         ad = mol.atoms[d]
         if ad.symbol not in _DA or ad.total_hs <= 0 or ad.aromatic:
+            continue
+        if _hyperoxo(mol, d):
             continue
         for b1 in mol.bond_indices_of(d):
             bond1 = mol.bonds[b1]
             if bond1.order != 1 or bond1.aromatic:
                 continue
             m = bond1.other(d)
+            if _hyperoxo(mol, m):
+                continue
             for b2 in mol.bond_indices_of(m):
                 bond2 = mol.bonds[b2]
                 if b2 == b1 or bond2.order != 2 or bond2.aromatic:
@@ -52,6 +75,8 @@ def _shift_moves(mol: Mol) -> List[Tuple[int, int, int, int, int]]:
                 if aa.symbol not in _DA:
                     continue
                 if ad.symbol == "C" and aa.symbol == "C":
+                    continue
+                if _hyperoxo(mol, a):
                     continue
                 moves.append((d, b1, m, b2, a))
     return moves
