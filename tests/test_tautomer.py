@@ -68,3 +68,20 @@ def test_phenol_not_tautomerized_to_dienone():
     # the cyclohexadienone form is reachable.
     assert ct("Oc1ccccc1") == ct("O=C1C=CC=CC1")
     assert "O" in ct("Oc1ccccc1")
+
+
+@pytest.mark.parametrize("smi", [
+    "CS(C)(=O)=O",                               # dimethyl sulfone
+    "c1cc(cc(c1))S(C2CC2)(=O)=O",                # aryl sulfone
+    "O=S(=O)(N)c1ccccc1",                        # sulfonamide
+    "CC[N+](=O)[O-]",                            # nitro (charged form)
+])
+def test_hyperoxo_centers_not_tautomerized(smi):
+    # The 1,3-shift walker must not move H through sulfonyl/nitro
+    # centers: that fabricates hypervalent 'enols' (C=S(O)(O)) RDKit's
+    # enumerator never produces, and the scorer would prefer them
+    # (chem/tautomer.py:_hyperoxo — the dominant pre-guard divergence
+    # class in logs/tautomer_divergence_r4.log).
+    c = ct(smi)
+    assert c is not None
+    assert "=S(" not in c and "S(=C" not in c and not c.startswith("C=S")
