@@ -93,7 +93,8 @@ measure profile_blocks "$REPO/logs/profile_blocks_r4.log" \
 # forward/loss/grads/adam decomposition that pairs with the per-block
 # numbers above).
 measure profile_step "$REPO/logs/profile_step_r4.log" \
-  scripts/profile_step.py 128 null,targets,forward,fwdloss,grads,adam,step
+  scripts/profile_step.py 128 \
+  null,targets,forward,fwdloss,grads,grads_rbg,adam,step
 
 # Stage 2b: train-metric 2x2 on the REAL chip (TPU rbg dropout bits are
 # the one starvation suspect the CPU diagnosis cannot exercise).
