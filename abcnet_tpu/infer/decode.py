@@ -518,7 +518,8 @@ def extract_peaks_sparse(heatmaps: Dict[str, jnp.ndarray],
 
 
 def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
-                        threshold: float = 0.6, sparse: bool = True):
+                        threshold: float = 0.6, sparse: bool = True,
+                        quant: dict = None):
     """Fused inference pipeline: uint8 batch -> peak arrays, optionally
     sharded over a data-parallel mesh (the multi-chip batched-inference
     role of the reference's DataParallel forward + Pool decode,
@@ -527,12 +528,19 @@ def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
 
     sparse=True (default) evaluates the six wide heads only at peak
     cells (see extract_peaks_sparse) — same decoded graphs, ~1/3 less
-    model FLOPs, and batch >=256 fits in HBM. Returns run(image_u8)."""
+    model FLOPs, and batch >=256 fits in HBM. Returns run(image_u8).
+
+    quant: an int8 bundle from infer.quant.prepare_quant — swaps the
+    dense backbone for the s8xs8->s32 conv path (v5e int8 MXU peak is
+    2x bf16); peak extraction and the sparse wide heads (still bf16)
+    are unchanged. Sparse mode only."""
     import numpy as onp
 
     from ..data.pipeline import device_unpack_bits, pack_images
     from ..parallel import shard_batch
 
+    if quant is not None and not sparse:
+        raise ValueError("quant backbone requires sparse=True")
     cfg = decode_cfg or DecodeConfig()
     model_dtype = getattr(state.apply_fn, "__self__", None)
     # state.apply_fn is UNet.apply (bound); recover the module dtype for
@@ -546,9 +554,14 @@ def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         if sparse:
-            heatmaps, feats = state.apply_fn(
-                variables, images, train=False,
-                dense_heads=DENSE_HEADS_SPARSE_MODE, return_features=True)
+            if quant is not None:
+                from .quant import forward_quant
+                heatmaps, feats = forward_quant(quant, images)
+            else:
+                heatmaps, feats = state.apply_fn(
+                    variables, images, train=False,
+                    dense_heads=DENSE_HEADS_SPARSE_MODE,
+                    return_features=True)
             return extract_peaks_sparse(heatmaps, feats, state.params,
                                         state.batch_stats, cfg, dtype)
         preds = state.apply_fn(variables, images, train=False)

@@ -128,6 +128,11 @@ measure cross_engine_robust "$REPO/logs/cross_engine_r4_robust.log" \
 measure cross_engine_prod "$REPO/logs/cross_engine_r4_prod.log" \
   scripts/cross_engine_eval.py 256
 
+# Stage 6b: int8 serving backbone (infer/quant.py) — accuracy gate at
+# n=256 + bench-protocol throughput A/B on the real int8 MXU.
+measure quant_eval "$REPO/logs/quant_eval_r4.log" \
+  scripts/quant_eval.py 256 64
+
 # Stage 7: MFU levers (base / pallas input / grad-accum / remat-2x).
 measure mfu_levers "$REPO/logs/mfu_levers_r4.log" \
   scripts/mfu_levers.py 128 8
