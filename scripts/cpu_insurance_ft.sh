@@ -9,7 +9,13 @@
 # checkpoint + eval) and exits the moment the tunnel returns so the
 # chip chain owns the box. Finishes with a small-n degraded_bench.
 #
-# Usage: bash scripts/cpu_insurance_ft.sh [hours=5] [wait_pidfile]
+# On CPU each (re)launch pays ~12 min of pool loads + ~10 min of
+# compiles, and finetune_robust.py already checkpoints+resumes every
+# 1000 steps — so the default is ONE long segment; crash durability
+# comes from the in-script checkpoints, and the 60 s tunnel poll still
+# yields the core promptly.
+#
+# Usage: bash scripts/cpu_insurance_ft.sh [hours=5] [wait_pidfile] [seg_s]
 
 set -u
 HOURS=${1:-5}
@@ -17,7 +23,7 @@ WAITPID=${2:-}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 LOG="$REPO/logs/ft_robust_cpu_insurance.log"
 OUT=/tmp/weights_robust_cpu
-SEG_S=2700
+SEG_S=${3:-999999}
 END=$(( $(date +%s) + $(python3 -c "print(int($HOURS*3600))") ))
 
 tunnel_up() {
