@@ -44,7 +44,9 @@ while [ "$(date +%s)" -lt "$END" ]; do
   SEG_END=$(( $(date +%s) + SEG_S ))
   [ "$SEG_END" -gt "$END" ] && SEG_END=$END
   ( cd "$REPO" && PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-    FT_BATCH=16 FT_EVAL_N=32 python -u scripts/finetune_robust.py \
+    FT_BATCH="${FT_BATCH:-16}" FT_EVAL_N=32 \
+    FT_LR="${FT_LR:-2.5e-5}" FT_DEGRADE_P="${FT_DEGRADE_P:-0.35}" \
+    python -u scripts/finetune_robust.py \
     "$SEG_END" data_cache/pool_90k.npz data_cache/pool_b_24k.npz \
     "$OUT" ) >> "$LOG" 2>&1 &
   FT=$!

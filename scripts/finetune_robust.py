@@ -38,9 +38,11 @@ from abcnet_tpu.train.metrics import MeterBank
 EVAL_N = int(os.environ.get("FT_EVAL_N", 256))  # held-out split as in
 EVAL_BATCH = 16                                 # train_r2_full.py
 BATCH = int(os.environ.get("FT_BATCH", 128))
-LR = 2.5e-5
-DEGRADE_P = 0.35      # fraction of train images degraded
-B_FRAC = 0.25         # fraction of each batch from the engine-B pool
+# Env overrides exist for the CPU insurance drive (tiny image budget →
+# concentrate the new-domain signal); the chip chain uses the defaults.
+LR = float(os.environ.get("FT_LR", 2.5e-5))
+DEGRADE_P = float(os.environ.get("FT_DEGRADE_P", 0.35))
+B_FRAC = float(os.environ.get("FT_B_FRAC", 0.25))
 B_POOL_N = 24000
 
 
