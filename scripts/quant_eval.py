@@ -53,8 +53,17 @@ def main():
 
     cfg = trainer.TrainConfig()
     state = trainer.create_state(cfg)
-    state = trainer.restore_checkpoint(state, ckpt_dir)
-    print(f"ckpt step {int(state.step)}", flush=True)
+    try:
+        state = trainer.restore_checkpoint(state, ckpt_dir)
+        print(f"ckpt step {int(state.step)}", flush=True)
+    except (FileNotFoundError, OSError):
+        # No trained checkpoint on this box (the VM rebuild wiped
+        # weights/): the accuracy gate below is then meaningless junk,
+        # but the chip throughput A/B is weight-VALUE-agnostic — int8
+        # vs bf16 conv speed depends only on shapes/dtypes — so run
+        # through with random init and say so loudly.
+        print("ckpt MISSING — random init: accuracy rows are junk, "
+              "throughput A/B is valid", flush=True)
 
     # Calibration stream is disjoint from the eval stream by seed.
     calib = gen_pool(660001, calib_n)

@@ -65,6 +65,10 @@ measure mfu_levers "$REPO/logs/mfu_levers_r4.log" \
   scripts/mfu_levers.py 128 6
 measure pallas_input_ab "$REPO/logs/pallas_input_ab_r4.log" \
   scripts/pallas_input_ab.py 128 8
+# int8 throughput A/B only (random init: accuracy rows junk, labeled so
+# in-log; the int8-vs-bf16 conv timing is weight-value-agnostic).
+measure quant_tput "$REPO/logs/quant_tput_r4.log" \
+  scripts/quant_eval.py 16 16
 measure profile_blocks "$REPO/logs/profile_blocks_r4.log" \
   scripts/profile_blocks.py 128
 
