@@ -41,7 +41,8 @@ W = WB * 8
 
 
 def _unpack(bits_ref):
-    bits = bits_ref[0].astype(jnp.float32)                   # (H, WB)
+    # Two-hop cast: real Mosaic has no direct uint8->f32 lowering.
+    bits = bits_ref[0].astype(jnp.int32).astype(jnp.float32)  # (H, WB)
     # One-hot expansion E[a, j] = (j // 8 == a): byte value lands on its
     # eight lanes; exact in f32 for values <= 255.
     a_idx = jax.lax.broadcasted_iota(jnp.int32, (WB, W), 0)
@@ -64,8 +65,11 @@ def _kernel_noise(seed_ref, rates_ref, bits_ref, out_ref):
     pltpu.prng_seed(seed_ref[0, 0] + b)
     ink = _unpack(bits_ref)
     # Salt/pepper with per-image rates (reference utils.py:73-80).
-    salt_rate = rates_ref[0, 0]
-    pepper_rate = rates_ref[0, 1]
+    # rates_ref holds the FULL (B, 2) table (real Mosaic rejects SMEM
+    # blocks smaller than the array unless 8x128-aligned — a (1, 2)
+    # per-step block fails lowering); index this image's row directly.
+    salt_rate = rates_ref[b, 0]
+    pepper_rate = rates_ref[b, 1]
     inv24 = jnp.float32(1.0 / (1 << 24))
     u1 = (pltpu.prng_random_bits((H, W)) >> 8).astype(jnp.float32) * inv24
     u2 = (pltpu.prng_random_bits((H, W)) >> 8).astype(jnp.float32) * inv24
@@ -131,7 +135,7 @@ def fused_unpack_noise(image_bits: jnp.ndarray, key: jax.Array,
         in_specs=[
             pl.BlockSpec((1, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda b: (b, 0),
+            pl.BlockSpec((bsz, 2), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
             bits_spec,
         ],
