@@ -98,6 +98,22 @@ def rho_l1(pred: jnp.ndarray, rho_t: jnp.ndarray,
 _ATOM_W = np.asarray(vocab.ATOM_TYPE_WEIGHTS, np.float32)
 
 
+def set_atom_type_weights(weights) -> None:
+    """Override the per-class atom-type focal weights for subsequent
+    traces of compute_losses (call BEFORE the first jitted train step).
+
+    The reference hardcodes (1,.1,.1,.1,1,...,10x5) (train.py:16); the
+    round-4 failure taxonomy showed the 0.1 down-weighting of C/N/O
+    under-commits the model on the majority classes (elem-swap bucket:
+    C->P, N->P, N->S over-predictions, logs/failure_taxonomy_r4.log),
+    so round-5 training recalibrates. Default stays reference parity.
+    """
+    global _ATOM_W
+    w = np.asarray(weights, np.float32)
+    assert w.shape == (vocab.NUM_ATOM_CLASSES,), w.shape
+    _ATOM_W = w
+
+
 def _to_nhwc_targets(targets: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Scatter targets are channel-first (reference layout); heads are
     NHWC. Transpose once here."""

@@ -16,9 +16,10 @@ and belong on scratch disk; the *model* itself (10.7M params) is
           training/eval script works unchanged.
 
 float16 storage costs at most 2^-11 relative rounding on weights the
-forward pass consumes in bfloat16 anyway (bf16 has LESS mantissa);
-an eval through a save/restore round-trip is bit-identical on the
-bf16 compute path for all practically occurring magnitudes.
+forward pass consumes in bfloat16 anyway (bf16 has LESS mantissa).
+save() now ENFORCES bf16-path bit-identity per array: any param whose
+f16 round-trip would overflow or lose subnormal mantissa bits vs a
+direct bf16 cast is stored float32 instead (ADVICE r4).
 
 Usage:
   python scripts/snapshot_weights.py save    [ckpt_dir=weights] [name]
@@ -64,7 +65,20 @@ def save(ckpt_dir: str, name: str) -> str:
     step = int(state.step)
     arrays = {}
     for key, v in _flatten(state.params, "params").items():
-        arrays[key] = v.astype(np.float16)
+        f16 = v.astype(np.float16)
+        # f16 is lossy insurance storage: only use it where the
+        # round-trip reproduces the bf16 compute path exactly
+        # (overflow >65504 -> inf; subnormals <~2^-17 carry fewer
+        # mantissa bits in f16 than bf16). Arrays that fail the check
+        # are stored f32 — correctness over compactness. ADVICE r4.
+        import ml_dtypes
+        rt = f16.astype(np.float32).astype(ml_dtypes.bfloat16)
+        direct = np.asarray(v, np.float32).astype(ml_dtypes.bfloat16)
+        ok = (np.isfinite(f16).all() and
+              np.array_equal(rt.view(np.uint16), direct.view(np.uint16)))
+        if not ok:
+            print(f"  [f16-unsafe] {key}: stored float32", flush=True)
+        arrays[key] = f16 if ok else np.asarray(v, np.float32)
     for key, v in _flatten(state.batch_stats, "batch_stats").items():
         arrays[key] = v.astype(np.float32)  # running stats: keep exact
     arrays["__step__"] = np.int64(step)
