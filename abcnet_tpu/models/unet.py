@@ -49,15 +49,30 @@ class DoubleConv(nn.Module):
         return x
 
 
+def _maybe_remat(cls, remat: bool):
+    """Wrap a block module class in flax checkpointing (save only block
+    inputs; recompute internals during backward). Used by the
+    remat_blocks throughput/capacity lever — the wrapped class keeps
+    the original param tree (lifted transforms are name-transparent;
+    asserted by tests/test_trainer.py::test_unet_remat_param_parity).
+    `train` (call arg index 2, after self/x) must be static: BatchNorm
+    branches on it in Python."""
+    if not remat:
+        return cls
+    return nn.remat(cls, static_argnums=(2,))
+
+
 class Down(nn.Module):
     """MaxPool 2x2 then DoubleConv (unet.py:24-35)."""
     features: int
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return DoubleConv(self.features, dtype=self.dtype)(x, train)
+        return _maybe_remat(DoubleConv, self.remat)(
+            self.features, dtype=self.dtype, name="DoubleConv_0")(x, train)
 
 
 def _crop_or_pad_to(x, target_h: int, target_w: int):
@@ -77,6 +92,7 @@ class Up(nn.Module):
     in_features: int
     out_features: int
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
@@ -84,7 +100,9 @@ class Up(nn.Module):
                              padding="VALID", dtype=self.dtype)(x)
         x = _crop_or_pad_to(x, skip.shape[1], skip.shape[2])
         x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
-        return DoubleConv(self.out_features, dtype=self.dtype)(x, train)
+        return _maybe_remat(DoubleConv, self.remat)(
+            self.out_features, dtype=self.dtype,
+            name="DoubleConv_0")(x, train)
 
 
 class OutConv(nn.Module):
@@ -123,6 +141,14 @@ class UNet(nn.Module):
     # n separate BNs over the slices) + per-head 1x1s on the slices.
     # Checkpoints convert losslessly both ways (models/fuse_heads.py).
     fused_head_bank: bool = False
+    # Per-block activation rematerialization (VERDICT r4 #6): block
+    # names whose internals are recomputed during backward instead of
+    # stored. The 512^2/256^2 low-channel levels are the candidates —
+    # their stored activations are the step's largest HBM write+read
+    # terms (scripts/roofline.py: ~1 GB/tensor at batch 128) while
+    # their recompute is cheap tile-starved MXU work. Checkpoint trees
+    # are unchanged (lifted transforms are name-transparent).
+    remat_blocks: Sequence[str] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -140,20 +166,33 @@ class UNet(nn.Module):
         # Learned homoscedastic uncertainty weights (unet.py:82).
         self.param("s", lambda key: jax.random.normal(key, (10,)) / 100.0)
 
-        x1 = DoubleConv(16, dtype=self.dtype, name="inc1")(x, train)
-        x1 = DoubleConv(16, dtype=self.dtype, name="inc2")(x1, train)
-        x2 = Down(32, dtype=self.dtype, name="down1")(x1, train)
-        x3 = Down(64, dtype=self.dtype, name="down2")(x2, train)
-        x3 = DoubleConv(64, dtype=self.dtype, name="inc3")(x3, train)
-        x4 = Down(128, dtype=self.dtype, name="down3")(x3, train)
-        x5 = Down(256, dtype=self.dtype, name="down4")(x4, train)
-        x6 = Down(512, dtype=self.dtype, name="down5")(x5, train)
+        rb = frozenset(self.remat_blocks)
 
-        y = Up(512, 256, dtype=self.dtype, name="up1")(x6, x5, train)
-        y = Up(256, 128, dtype=self.dtype, name="up2")(y, x4, train)
-        y = Up(128, 128, dtype=self.dtype, name="up3")(y, x3, train)
-        y = DoubleConv(128, dtype=self.dtype, name="dconv1")(y, train)
-        y = DoubleConv(128, dtype=self.dtype, name="dconv2")(y, train)
+        def dc(features, name):
+            return _maybe_remat(DoubleConv, name in rb)(
+                features, dtype=self.dtype, name=name)
+
+        def down(features, name):
+            return Down(features, dtype=self.dtype, name=name,
+                        remat=name in rb)
+
+        x1 = dc(16, "inc1")(x, train)
+        x1 = dc(16, "inc2")(x1, train)
+        x2 = down(32, "down1")(x1, train)
+        x3 = down(64, "down2")(x2, train)
+        x3 = dc(64, "inc3")(x3, train)
+        x4 = down(128, "down3")(x3, train)
+        x5 = down(256, "down4")(x4, train)
+        x6 = down(512, "down5")(x5, train)
+
+        y = Up(512, 256, dtype=self.dtype, name="up1",
+               remat="up1" in rb)(x6, x5, train)
+        y = Up(256, 128, dtype=self.dtype, name="up2",
+               remat="up2" in rb)(y, x4, train)
+        y = Up(128, 128, dtype=self.dtype, name="up3",
+               remat="up3" in rb)(y, x3, train)
+        y = dc(128, "dconv1")(y, train)
+        y = dc(128, "dconv2")(y, train)
 
         out = {}
         names = HEAD_NAMES if len(self.heads) == len(HEAD_NAMES) else [
@@ -185,8 +224,8 @@ class UNet(nn.Module):
             # 360/60-ch maps at double the HBM cost — consumers upcast
             # after their gathers instead (ops/losses.py:activations,
             # infer/decode.py).
-            out[name] = OutConv(128, width, dtype=self.dtype,
-                                name=f"out_{name}")(y, train)
+            out[name] = _maybe_remat(OutConv, "heads" in rb)(
+                128, width, dtype=self.dtype, name=f"out_{name}")(y, train)
         if return_features:
             return out, y
         return out

@@ -195,6 +195,71 @@ def train_step(state: TrainState, batch, rng, amount: float = 0.2,
     return state, total, aux["losses"], aux.get("metrics", {})
 
 
+def _interleave_split(batch: Dict[str, jnp.ndarray], n_micro: int):
+    """Split a batch into n_micro microbatches along axis 0, interleaved
+    (microbatch i takes elements i, i+n, i+2n, ...). Interleaving keeps
+    each microbatch spread evenly over a data-sharded axis: with B
+    sharded d-ways, every device contributes B/(d*n) elements to every
+    microbatch, so the reshape stays shard-local (a contiguous split
+    would put microbatch 0 entirely on the first d/n devices)."""
+    def split(v):
+        b = v.shape[0]
+        return v.reshape(b // n_micro, n_micro, *v.shape[1:]).swapaxes(0, 1)
+    return {k: split(v) for k, v in batch.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("amount", "n_micro"),
+                   donate_argnums=(0,))
+def train_step_scan(state: TrainState, batch, rng, amount: float = 0.2,
+                    n_micro: int = 2):
+    """train_step at effective batch B as a lax.scan over n_micro
+    microbatches of B/n_micro, one Adam update (VERDICT r4 #6).
+
+    The round-4 lever table measured why this exists: jitting two
+    back-to-back microbatches (mfu_levers.py accum2) keeps BOTH
+    activation sets live and OOMs the 15.75 GB HBM at effective batch
+    256 (28.3 GB). A lax.scan body is compiled once and its
+    activations die at each iteration boundary, so activation memory
+    is that of ONE microbatch while the optimizer still sees the
+    full-batch mean gradient.
+
+    Semantics vs train_step(B): the update is the mean over the
+    n_micro microbatch gradients. BatchNorm normalizes per microbatch
+    (stats over B/n_micro samples) — with B/n_micro = 64 this is
+    exactly the reference's single-GPU batch-64 BN (train.py:44), and
+    the per-microbatch running-stat updates are the statistics stream
+    torch DDP produces on n_micro workers. Dropout/noise keys are
+    split per microbatch. The scan/split/accumulate plumbing is tested
+    against an unrolled two-pass reference
+    (tests/test_trainer.py::test_train_step_scan_matches_unrolled).
+    """
+    micro = _interleave_split(batch, n_micro)
+    rngs = jax.random.split(rng, n_micro)
+    gfn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+
+    def body(carry, xs):
+        bstats, gsum, tsum = carry
+        mb, r = xs
+        (total, aux), g = gfn(state.params, bstats, state.apply_fn, mb,
+                              r, amount, True, False)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+        return (aux["batch_stats"], gsum, tsum + total), aux["losses"]
+
+    gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    (bstats, gsum, tsum), losses = jax.lax.scan(
+        body, (state.batch_stats, gzero, jnp.zeros((), jnp.float32)),
+        (micro, rngs))
+    inv = 1.0 / n_micro
+    grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+    updates, opt_state = state.tx.update(grads, state.opt_state,
+                                         state.params)
+    params = optax.apply_updates(state.params, updates)
+    state = state.replace(step=state.step + 1, params=params,
+                          batch_stats=bstats, opt_state=opt_state)
+    losses = jax.tree_util.tree_map(lambda x: x.mean(), losses)
+    return state, tsum * inv, losses, {}
+
+
 @functools.partial(jax.jit, static_argnames=("amount",))
 def train_metrics_step(state: TrainState, batch, rng,
                        amount: float = 0.2):

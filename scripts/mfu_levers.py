@@ -118,11 +118,56 @@ def main():
                       batch_stats=aux["batch_stats"], opt_state=opt_state)
         return s, total
 
-    print(f"batch {B} (accum2/remat2x use effective {2 * B})", flush=True)
+    # --- round-5 levers (VERDICT r4 #6) ---------------------------------
+    # scan2/scan4: lax.scan microbatch accumulation (trainer.
+    # train_step_scan) — activation memory of ONE microbatch at 2x/4x
+    # effective batch, where the unrolled accum2 OOM'd.
+    def scan2(s, big, r):
+        s, total, _, _ = trainer.train_step_scan(s, big, r, amount=0.2,
+                                                 n_micro=2)
+        return s, total
+
+    def scan4(s, big, r):
+        s, total, _, _ = trainer.train_step_scan(s, big, r, amount=0.2,
+                                                 n_micro=4)
+        return s, total
+
+    # rematlow: recompute the 512^2/256^2 low-channel blocks in backward
+    # (their stored activations are the largest HBM write+read terms;
+    # recompute is tile-starved-MXU cheap).
+    from abcnet_tpu.models.unet import UNet
+    REMAT_LOW = ("inc1", "inc2", "down1")
+
+    def remat_state():
+        return trainer.create_state(
+            cfg, model=UNet(remat_blocks=REMAT_LOW,
+                            dtype=getattr(jnp, cfg.dtype)))
+
+    print(f"batch {B} (accum2/remat2x/scan2 use effective {2 * B}, "
+          f"scan4 {4 * B})", flush=True)
     run("base", base, [state], batches, B)
     run("pallas_in", pallas_in, [state], batches, B)
     run("accum2", accum2, [state], batches2, 2 * B)
     run("remat2x", remat2x, [state], batches2, 2 * B)
+    if only is None or "scan2" in only:
+        run("scan2", scan2, [trainer.create_state(cfg)], batches2, 2 * B)
+    if only is None or "scan4" in only:
+        batches4 = [pipeline.synthetic_batch(4 * B, seed=s) for s in (4,)]
+        run("scan4", scan4, [trainer.create_state(cfg)], batches4, 4 * B)
+    if only is None or "rematlow" in only:
+        run("rematlow", base, [remat_state()], batches, B)
+    if only is None or "rematlow2x" in only:
+        # remat frees capacity: try 2x batch in ONE microbatch.
+        cfg2 = trainer.TrainConfig(batch_size=2 * B)
+        s2 = trainer.create_state(
+            cfg2, model=UNet(remat_blocks=REMAT_LOW,
+                             dtype=getattr(jnp, cfg2.dtype)))
+        run("rematlow2x", base, [s2], batches2, 2 * B)
+    if only is None or "scan2fused" in only:
+        s2 = trainer.create_state(
+            cfg, model=UNet(fused_head_bank=True,
+                            dtype=getattr(jnp, cfg.dtype)))
+        run("scan2fused", scan2, [s2], batches2, 2 * B)
 
     # Fused head bank (scripts/roofline.py: the 8 OutConv 3x3s are the
     # step's largest HBM term). Same production train_step; the model's
@@ -133,6 +178,16 @@ def main():
             cfg, model=UNet(fused_head_bank=True,
                             dtype=getattr(jnp, cfg.dtype)))
         run("fusedheads", base, [fused_state], batches, B)
+
+    # fusedheads OOM'd standalone at batch 128 (r4 lever table: 24.5 GB);
+    # remat the head bank + the 512^2 low-channel blocks to pay for it.
+    if only is None or "fusedremat" in only:
+        from abcnet_tpu.models.unet import UNet
+        s2 = trainer.create_state(
+            cfg, model=UNet(fused_head_bank=True,
+                            remat_blocks=REMAT_LOW + ("heads",),
+                            dtype=getattr(jnp, cfg.dtype)))
+        run("fusedremat", base, [s2], batches, B)
 
 
 if __name__ == "__main__":
