@@ -61,6 +61,18 @@ def _leaky_relu(x: np.ndarray) -> np.ndarray:
 OVERSHOOT_CAP = 2.0
 _OVERSHOOT_EXTRA_SLOPE = 1.5
 
+# Self-loop bond re-matching (r5, atom-drop bucket of
+# logs/failure_taxonomy_r4.log): when both endpoints of a bond argmin
+# to the SAME atom, the reference drops the bond outright
+# (img2smiles2.py:217-219) — and with it any degree-1 atom whose only
+# bond this was. Instead, re-match to the best DISTINCT atom pair
+# (keep one winner, move the other endpoint to its runner-up, cheaper
+# total first), accepting only while the moved endpoint still scores
+# <= REMATCH_MAX grid units. Activates ONLY on would-be-dropped bonds;
+# every other match is bit-identical to the reference rule. <= 0
+# restores exact reference behavior.
+REMATCH_MAX = 3.0
+
 
 def _overshoot_extra(along: np.ndarray, cap: float) -> np.ndarray:
     """Extra penalty for along-axis overshoot beyond `cap` (along is the
@@ -141,7 +153,9 @@ def _graph_to_smiles_once(types, charges, positions, hs, bond_pairs_1b,
 
 def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
                            overshoot_cap: float = OVERSHOOT_CAP,
-                           subcell: bool = True) -> Optional[str]:
+                           subcell: bool = True,
+                           rematch_max: float = REMATCH_MAX
+                           ) -> Optional[str]:
     """C++ fast path: graph assembly AND the canonical-SMILES tail in
     native code (native/assemble.cpp + native/smiles.cpp — the decode
     profile puts to_smiles at ~68% of host assembly). Falls back to the
@@ -152,8 +166,9 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
                          load_native)
     if load_native() is None:
         return assemble_smiles(peaks, index, overshoot_cap=overshoot_cap,
-                               subcell=subcell)
-    out = assemble_graph_native(peaks, index, overshoot_cap, subcell)
+                               subcell=subcell, rematch_max=rematch_max)
+    out = assemble_graph_native(peaks, index, overshoot_cap, subcell,
+                                rematch_max)
     if out is None:
         return None
     pos, a_type, a_charge, a_hs, bonds, b_orders = out
@@ -165,7 +180,8 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
                     verbose: bool = False,
                     midpoint_check: Optional[float] = None,
                     overshoot_cap: float = OVERSHOOT_CAP,
-                    subcell: bool = True) -> Optional[str]:
+                    subcell: bool = True,
+                    rematch_max: float = REMATCH_MAX) -> Optional[str]:
     """Decode one image's peaks (row `index` of the batch arrays).
 
     midpoint_check: optional grid-unit threshold reproducing the
@@ -243,13 +259,30 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
     atom_index1 = d2.argmin(-1)                           # begin atoms
     atom_index2 = d1.argmin(-1)                           # end atoms
 
-    # Self-loop / duplicate-pair removal (img2smiles2.py:217-231).
+    # Self-loop / duplicate-pair removal (img2smiles2.py:217-231),
+    # with self-loop re-matching (see REMATCH_MAX above).
+    n_atoms = atoms_position.shape[0]
     bond_pairs: List[List[int]] = []
     bond_orders: List[int] = []
     for i in range(len(bxy)):
         i1, i2 = int(atom_index1[i]), int(atom_index2[i])
         if i1 == i2:
-            continue
+            if rematch_max is None or rematch_max <= 0 or n_atoms < 2:
+                continue
+            d1r, d2r = d1[i].copy(), d2[i].copy()
+            d1r[i2] = np.inf                 # runner-up end (!= winner)
+            d2r[i1] = np.inf                 # runner-up begin
+            r2, r1 = int(d1r.argmin()), int(d2r.argmin())
+            ok_a = d1r[r2] <= rematch_max    # begin=i1, end=r2
+            ok_b = d2r[r1] <= rematch_max    # begin=r1, end=i2
+            if not ok_a and not ok_b:
+                continue
+            cost_a = d2[i, i1] + d1r[r2] if ok_a else np.inf
+            cost_b = d2r[r1] + d1[i, i2] if ok_b else np.inf
+            if cost_a <= cost_b:
+                i2 = r2
+            else:
+                i1 = r1
         if [i1, i2] in bond_pairs or [i2, i1] in bond_pairs:
             continue
         if midpoint_check is not None:
@@ -301,12 +334,15 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
 
 
 def _assemble_range(host: Dict[str, np.ndarray], lo: int, hi: int,
-                    native: bool, subcell: bool) -> List[Optional[str]]:
+                    native: bool, subcell: bool,
+                    rematch_max: float = REMATCH_MAX
+                    ) -> List[Optional[str]]:
     """Worker task: assemble images [lo, hi) of a peak batch. A range
     per worker (instead of one task per image) pickles the batch dict
     once per worker instead of once per image."""
     fn = assemble_smiles_native if native else assemble_smiles
-    return [fn(host, i, subcell=subcell) for i in range(lo, hi)]
+    return [fn(host, i, subcell=subcell, rematch_max=rematch_max)
+            for i in range(lo, hi)]
 
 
 def make_assembly_pool(processes: int):
@@ -326,7 +362,9 @@ def make_assembly_pool(processes: int):
 def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
                    native: bool = True,
                    subcell: bool = True,
-                   pool=None) -> List[Optional[str]]:
+                   pool=None,
+                   rematch_max: float = REMATCH_MAX
+                   ) -> List[Optional[str]]:
     """Decode every image in a batch of peak arrays (host numpy).
 
     native=True uses the C++ assembler when built (falls back
@@ -343,16 +381,18 @@ def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
         import multiprocessing as mp
         with mp.get_context("spawn").Pool(processes) as tmp:
             return assemble_batch(host, native=native, subcell=subcell,
-                                  pool=tmp)
+                                  pool=tmp, rematch_max=rematch_max)
     if pool is not None and n > 1:
         workers = getattr(pool, "n_workers", None) or getattr(
             pool, "_processes", None) or 2
         step = -(-n // workers)
-        ranges = [(host, lo, min(lo + step, n), native, subcell)
+        ranges = [(host, lo, min(lo + step, n), native, subcell,
+                   rematch_max)
                   for lo in range(0, n, step)]
         out: List[Optional[str]] = []
         for part in pool.starmap(_assemble_range, ranges):
             out.extend(part)
         return out
     fn = assemble_smiles_native if native else assemble_smiles
-    return [fn(host, i, subcell=subcell) for i in range(n)]
+    return [fn(host, i, subcell=subcell, rematch_max=rematch_max)
+            for i in range(n)]

@@ -30,7 +30,7 @@ _F64P = ctypes.POINTER(ctypes.c_double)
 # .so built before a signature change loads fine under ctypes and
 # silently ignores trailing arguments (x86-64 calling convention), so
 # version-gate instead of trusting the file.
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 @functools.lru_cache(maxsize=1)
@@ -56,7 +56,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         _I32P, _I32P, _I32P, _I32P, _U8P, ctypes.c_int32,
         _I32P, _F32P, _I32P, _U8P, ctypes.c_int32,
         _F64P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P,
-        ctypes.c_double, _F32P, _F32P,
+        ctypes.c_double, _F32P, _F32P, ctypes.c_double,
     ]
     lib.graph_to_smiles.restype = ctypes.c_int32
     lib.graph_to_smiles.argtypes = [
@@ -117,7 +117,9 @@ def graph_to_smiles_native(pos: np.ndarray, type_cls: np.ndarray,
 
 def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
                           overshoot_cap: Optional[float] = None,
-                          subcell: bool = True) -> Optional[Tuple]:
+                          subcell: bool = True,
+                          rematch_max: Optional[float] = None
+                          ) -> Optional[Tuple]:
     """Run the C++ assembler for one image. Returns
     (atom_pos [A,2], atom_type [A], atom_charge [A], atom_hs [A],
      bonds [B,2] 0-based, bond_orders [B]) or None.
@@ -131,6 +133,9 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
     if overshoot_cap is None:
         from .assemble import OVERSHOOT_CAP  # single source of truth
         overshoot_cap = OVERSHOOT_CAP
+    if rematch_max is None:
+        from .assemble import REMATCH_MAX
+        rematch_max = REMATCH_MAX
 
     axy = np.ascontiguousarray(peaks["atom_xy"][index], np.int32)
     at = np.ascontiguousarray(peaks["atom_type"][index], np.int32)
@@ -165,7 +170,8 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
         _p(out_hs, _I32P), _p(out_bonds, _I32P), _p(out_btype, _I32P),
         _p(n_bonds, _I32P), ctypes.c_double(overshoot_cap),
         _p(asub, _F32P) if asub is not None else null_f32,
-        _p(bsub, _F32P) if bsub is not None else null_f32)
+        _p(bsub, _F32P) if bsub is not None else null_f32,
+        ctypes.c_double(rematch_max))
     if na < 0:
         return None
     nb = int(n_bonds[0])

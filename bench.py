@@ -105,53 +105,70 @@ def _chain_ancestor(pid: int) -> bool:
     return False
 
 
+# Known chip-holding job families: (relaunch-loop pid file, active-stage
+# pid file, stage is a setsid process-group leader). The r5 training
+# watchdog setsids its python so the stage kill must take the whole
+# group or the grandchild survives holding the chip (ADVICE r4).
+_CHIP_HOLDERS = [
+    ("/tmp/round4_chain.pid", "/tmp/round4_stage.pid", False),
+    ("/tmp/watchdog_r5.pid", "/tmp/train_r5.pid", True),
+]
+
+
 def _pause_chain():
-    """Priority protocol vs the chip chain (scripts/round4_chain.sh):
-    the TPU is claimed exclusively per process, so a bench started while
-    a chain stage holds it hangs at backend init (BENCH_r03's failure
-    mode must not recur). SIGSTOP the chain script (freezes its
-    relaunch loops), kill the active stage (its checkpoints bound the
-    loss), and wait for the chip to free. Returns the chain pid to
-    SIGCONT, or None."""
+    """Priority protocol vs chip-holding jobs (chip chains, the live
+    r5 trainer): the TPU is claimed exclusively per process, so a bench
+    started while another job holds it hangs at backend init
+    (BENCH_r03's failure mode must not recur). SIGSTOP each relaunch
+    loop (so it cannot respawn), kill its active stage (orbax
+    checkpoints every 2500 steps bound the loss), and wait for the chip
+    to free. Returns the list of loop pids to SIGCONT, or None."""
     import signal
-    try:
-        with open("/tmp/round4_chain.pid") as f:
-            chain = int(f.read().strip())
-        os.kill(chain, 0)
-    except Exception:
+    paused = []
+    for loop_file, stage_file, group in _CHIP_HOLDERS:
+        try:
+            with open(loop_file) as f:
+                chain = int(f.read().strip())
+            os.kill(chain, 0)
+        except Exception:
+            continue
+        if _chain_ancestor(chain):
+            continue
+        try:
+            os.kill(chain, signal.SIGSTOP)
+        except Exception:
+            continue
+        paused.append(chain)
+        try:
+            with open(stage_file) as f:
+                stage = int(f.read().strip())
+            kill = os.killpg if group else os.kill
+            kill(stage, signal.SIGTERM)
+            time.sleep(3)
+            kill(stage, signal.SIGKILL)
+        except Exception:
+            pass
+    if not paused:
         return None
-    if _chain_ancestor(chain):
-        return None
-    try:
-        os.kill(chain, signal.SIGSTOP)
-    except Exception:
-        return None
-    try:
-        with open("/tmp/round4_stage.pid") as f:
-            stage = int(f.read().strip())
-        os.kill(stage, signal.SIGTERM)
-        time.sleep(3)
-        os.kill(stage, signal.SIGKILL)
-    except Exception:
-        pass
     for _ in range(30):          # wait for the tunnel to release the chip
         if _other_busy_python() == 0:
             break
         time.sleep(2)
-    print("bench: paused chip chain for exclusive measurement",
-          file=sys.stderr)
-    return chain
+    print(f"bench: paused {len(paused)} chip job(s) for exclusive "
+          "measurement", file=sys.stderr)
+    return paused
 
 
-def _resume_chain(chain) -> None:
-    if chain is None:
+def _resume_chain(chains) -> None:
+    if not chains:
         return
     import signal
-    try:
-        os.kill(chain, signal.SIGCONT)
-        print("bench: resumed chip chain", file=sys.stderr)
-    except Exception:
-        pass
+    for chain in chains:
+        try:
+            os.kill(chain, signal.SIGCONT)
+        except Exception:
+            continue
+    print("bench: resumed paused chip job(s)", file=sys.stderr)
 
 
 def _other_busy_python() -> int:
@@ -261,19 +278,48 @@ def _run(args) -> None:
     # Trained weights when available: the host-assembly stage (and the
     # e2e img/s) depend on the peak profile, and a random-init net on
     # real images is not the serving workload.
-    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "weights")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ckpt_dir = os.path.join(repo, "weights")
+    st = None
     if os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-        from abcnet_tpu.train import trainer as _tr
-        cfg0 = _tr.TrainConfig()
-        st = _tr.restore_checkpoint(_tr.create_state(cfg0), ckpt_dir)
+        try:
+            from abcnet_tpu.train import trainer as _tr
+            cfg0 = _tr.TrainConfig()
+            st = _tr.restore_checkpoint(_tr.create_state(cfg0), ckpt_dir)
+            print(f"bench: using trained checkpoint step {int(st.step)}",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: orbax restore failed ({e}), trying snapshot",
+                  file=sys.stderr)
+            st = None
+    if st is None:
+        # Disaster fallback: the f16 snapshot committed to git (the
+        # round-4 VM rebuild wiped weights/ and the driver benched
+        # random-init junk; snapshots/*.npz survive with the repo).
+        snap = os.path.join(repo, "snapshots", "r5_latest.npz")
+        if os.path.isfile(snap):
+            sys.path.insert(0, repo)
+            from abcnet_tpu.train import trainer as _tr
+            from scripts.snapshot_weights import _unflatten
+            z = np.load(snap)
+            tree = _unflatten({k: z[k] for k in z.files
+                               if k != "__step__"})
+            ref = _tr.create_state(_tr.TrainConfig())
+            like = lambda s, r: np.asarray(s, r.dtype).reshape(r.shape)  # noqa: E731
+            st = ref.replace(
+                params=jax.tree_util.tree_map(
+                    like, tree["params"], jax.device_get(ref.params)),
+                batch_stats=jax.tree_util.tree_map(
+                    like, tree["batch_stats"],
+                    jax.device_get(ref.batch_stats)))
+            print(f"bench: using git snapshot step {int(z['__step__'])}",
+                  file=sys.stderr)
+    if st is not None:
         # device_put ONCE: restore returns host numpy arrays, and
         # passing those to a jitted call re-uploads ~43 MB of params
         # over the tunnel EVERY iteration (~0.9 s/call measured).
         variables = jax.device_put({"params": st.params,
                                     "batch_stats": st.batch_stats})
-        print(f"bench: using trained checkpoint step {int(st.step)}",
-              file=sys.stderr)
 
     # Null-program round-trip: the tunnel's dispatch+fetch latency.
     # Sync numbers include one of these per iteration; the pipelined

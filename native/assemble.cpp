@@ -72,8 +72,9 @@ extern "C" {
 // mismatch — a stale .so built for an older signature would otherwise
 // load fine and silently ignore trailing arguments on x86-64).
 // History: 1 = original assemble_graph; 2 = + overshoot_cap double;
-// 3 = + nullable atom_sub/bond_sub float32 sub-cell offset arrays.
-int32_t abcnet_native_abi_version(void) { return 4; }
+// 3 = + nullable atom_sub/bond_sub float32 sub-cell offset arrays;
+// 5 = + rematch_max double (self-loop bond re-matching).
+int32_t abcnet_native_abi_version(void) { return 5; }
 
 // Assemble one image's peaks into a molecular graph.
 //
@@ -105,7 +106,8 @@ int32_t assemble_graph(
     double* out_atom_pos, int32_t* out_atom_type,
     int32_t* out_atom_charge, int32_t* out_atom_hs,
     int32_t* out_bonds, int32_t* out_bond_type, int32_t* out_n_bonds,
-    double overshoot_cap, const float* atom_sub, const float* bond_sub) {
+    double overshoot_cap, const float* atom_sub, const float* bond_sub,
+    double rematch_max) {
   // Along-axis overshoot penalty beyond the cap (see
   // infer/assemble.py:OVERSHOOT_CAP); cap <= 0 = reference behavior.
   auto overshoot_extra = [overshoot_cap](double along) {
@@ -169,19 +171,48 @@ int32_t assemble_graph(
     double p2x = px - dx, p2y = py - dy;   // begin side
     int best1 = -1, best2 = -1;
     double bd1 = 1e30, bd2 = 1e30;
+    // Runner-up candidates on each side (for self-loop re-matching):
+    // best end/begin atom EXCLUDING the current winner of that side.
+    int run1 = -1, run2 = -1;
+    double rd1 = 1e30, rd2 = 1e30;
     for (int a = 0; a < na; ++a) {
       double r1x = p1x - atoms[a].mx, r1y = p1y - atoms[a].my;
       double al1 = r1x * e1x + r1y * e1y;
       double d1 = std::fabs(leaky_relu(al1)) + overshoot_extra(al1) +
                   std::fabs(2.0 * (r1x * e2x + r1y * e2y));
-      if (d1 < bd1) { bd1 = d1; best2 = a; }
+      if (d1 < bd1) {
+        rd1 = bd1; run2 = best2;
+        bd1 = d1; best2 = a;
+      } else if (d1 < rd1) { rd1 = d1; run2 = a; }
       double r2x = p2x - atoms[a].mx, r2y = p2y - atoms[a].my;
       double al2 = -(r2x * e1x + r2y * e1y);
       double d2 = std::fabs(leaky_relu(al2)) + overshoot_extra(al2) +
                   std::fabs(2.0 * (r2x * e2x + r2y * e2y));
-      if (d2 < bd2) { bd2 = d2; best1 = a; }
+      if (d2 < bd2) {
+        rd2 = bd2; run1 = best1;
+        bd2 = d2; best1 = a;
+      } else if (d2 < rd2) { rd2 = d2; run1 = a; }
     }
-    if (best1 < 0 || best2 < 0 || best1 == best2) continue;
+    if (best1 < 0 || best2 < 0) continue;
+    if (best1 == best2) {
+      // Self-loop: both endpoints argmin to the same atom. The
+      // reference drops the bond (img2smiles2.py:217-219) — and with
+      // it any degree-1 atom whose only bond this was (the atoms-1
+      // failure bucket, logs/failure_taxonomy_r4.log). Re-match to the
+      // best DISTINCT pair instead: keep one winner, move the other
+      // endpoint to its runner-up, choosing the cheaper total; accept
+      // only while the moved endpoint still scores <= rematch_max grid
+      // units. rematch_max <= 0 restores exact reference behavior.
+      // Only activates on would-be-dropped bonds; all other matches
+      // are bit-identical to the reference rule.
+      if (rematch_max <= 0) continue;
+      bool okA = run2 >= 0 && rd1 <= rematch_max;  // begin=best1, end=run2
+      bool okB = run1 >= 0 && rd2 <= rematch_max;  // begin=run1, end=best2
+      double costA = okA ? bd2 + rd1 : 1e30;
+      double costB = okB ? rd2 + bd1 : 1e30;
+      if (!okA && !okB) continue;
+      if (costA <= costB) best2 = run2; else best1 = run1;
+    }
     bool dup = false;
     for (const auto& pr : pairs)
       if ((pr.first == best1 && pr.second == best2) ||
