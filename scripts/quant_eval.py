@@ -53,6 +53,7 @@ def main():
 
     cfg = trainer.TrainConfig()
     state = trainer.create_state(cfg)
+    junk = ""
     try:
         state = trainer.restore_checkpoint(state, ckpt_dir)
         print(f"ckpt step {int(state.step)}", flush=True)
@@ -61,7 +62,9 @@ def main():
         # weights/): the accuracy gate below is then meaningless junk,
         # but the chip throughput A/B is weight-VALUE-agnostic — int8
         # vs bf16 conv speed depends only on shapes/dtypes — so run
-        # through with random init and say so loudly.
+        # through with random init and tag the gate rows THEMSELVES
+        # (ADVICE r4: a separate banner is missable by log scrapers).
+        junk = ",RANDOM-INIT-JUNK"
         print("ckpt MISSING — random init: accuracy rows are junk, "
               "throughput A/B is valid", flush=True)
 
@@ -86,7 +89,7 @@ def main():
             chunk = pool[i:i + EVAL_BATCH]
             peaks = run(np.stack([s.image for s in chunk]))
             preds.extend(assemble_batch(peaks))
-        print(f"E2E[{label}] {score_pairs(truths, preds)} "
+        print(f"E2E[{label}{junk}] {score_pairs(truths, preds)} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
     # Chip-only throughput A/B (bench.py value-fetch protocol; the CPU

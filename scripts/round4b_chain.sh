@@ -28,15 +28,18 @@ note() { echo "CHAIN[$(date -u +%H:%M:%S)]: $*" >> "$LOG"; }
 
 run_once() {
   local SLOG=$1; shift
-  ( cd "$REPO" && python -u "$@" ) >> "$SLOG" 2>&1 &
+  # setsid: the stage gets its own process group so a stall kill takes
+  # down the python grandchild too, not just the subshell (ADVICE r4 —
+  # a surviving hung python keeps the chip and poisons later timings).
+  setsid bash -c "cd '$REPO' && exec python -u $*" >> "$SLOG" 2>&1 &
   local PID=$!
   echo "$PID" > /tmp/round4_stage.pid
   while kill -0 "$PID" 2>/dev/null; do
     sleep 30
     local AGE=$(( $(date +%s) - $(stat -c %Y "$SLOG" 2>/dev/null || echo 0) ))
     if [ "$AGE" -gt "$STALL_S" ]; then
-      note "stall ${AGE}s in $*, killing $PID"
-      kill -9 "$PID" 2>/dev/null
+      note "stall ${AGE}s in $*, killing group $PID"
+      kill -9 -- "-$PID" 2>/dev/null
       sleep 5
       return 1
     fi
