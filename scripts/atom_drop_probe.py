@@ -158,6 +158,113 @@ def stage_coverage(peaks, index, gt_xy, gt_degree):
     return lost_detector, lost_dedup, lost_unbonded, stolen
 
 
+def classify_bonds(peaks, index, gt_xy, gt_bonds):
+    """Attribute each predicted bond to its GT bond (greedy one-to-one
+    by center distance) and split the overdeg mechanism:
+
+      fp        predicted bond with no GT bond within 2 grid units of
+                its center — extra detected bond, inflates degree
+      theft     matched GT bond, but an endpoint argmin'ed to a
+                DIFFERENT atom than the GT endpoint — steals degree
+                from the right atom and gives it to the wrong one
+      theft_repairable  the GT endpoint's own peak survived dedup, so
+                a smarter assignment could have used it
+
+    Returns (fp, theft, theft_repairable, missed_gt_bonds)."""
+    av = peaks["atom_valid"][index]
+    amxy = peaks["atom_xy"][index][av].astype(np.float64)
+    if "atom_sub" in peaks:
+        amxy = amxy + np.asarray(peaks["atom_sub"][index][av], np.float64)
+    # Scan-order d^2<4 dedup, as the assembler applies before matching.
+    order = np.lexsort((peaks["atom_xy"][index][av][:, 1],
+                        peaks["atom_xy"][index][av][:, 0]))
+    kept_pos = []
+    for i in order:
+        m = amxy[i]
+        if kept_pos:
+            d2k = ((np.asarray(kept_pos) - m) ** 2).sum(-1)
+            if d2k.min() < 4:
+                continue
+        kept_pos.append(m)
+    amxy = np.asarray(kept_pos, np.float64).reshape(-1, 2)
+    bv = peaks["bond_valid"][index]
+    bxy = peaks["bond_xy"][index][bv].astype(np.float64)
+    if "bond_sub" in peaks:
+        bxy = bxy + np.asarray(peaks["bond_sub"][index][bv], np.float64)
+    bdelta = peaks["bond_delta"][index][bv].astype(np.float64)
+    if not len(bxy):
+        return 0, 0, 0, len(gt_bonds)
+
+    # Predicted-bond -> GT-bond greedy matching by center distance.
+    gt_c = np.asarray([[cx, cy] for _, _, cx, cy in gt_bonds],
+                      np.float64) if gt_bonds else np.zeros((0, 2))
+    gt_of_bond = {}
+    if len(gt_c):
+        d = ((bxy[:, None, :] - gt_c[None, :, :]) ** 2).sum(-1)
+        pairs = sorted((d[p, g], p, g) for p in range(len(bxy))
+                       for g in range(len(gt_c)))
+        tp, tg = set(), set()
+        for dist, p, g in pairs:
+            if dist > 4.0 or p in tp or g in tg:
+                continue
+            tp.add(p)
+            tg.add(g)
+            gt_of_bond[p] = g
+    fp = sum(1 for p in range(len(bxy)) if p not in gt_of_bond)
+    missed = len(gt_bonds) - len(gt_of_bond)
+
+    # Endpoint matching exactly as the assembler does it.
+    norm = np.maximum(np.sqrt((bdelta ** 2).sum(-1, keepdims=True)), 1e-9)
+    e1 = bdelta / norm
+    e2 = np.stack([-e1[:, 1], e1[:, 0]], axis=-1)
+    ap = amxy[None, :, :]
+    p1 = (bxy + bdelta)[:, None, :]
+    p2 = (bxy - bdelta)[:, None, :]
+    e1b, e2b = e1[:, None, :], e2[:, None, :]
+    al1 = ((p1 - ap) * e1b).sum(-1)
+    al2 = -((p2 - ap) * e1b).sum(-1)
+    d1 = (np.abs(assemble._leaky_relu(al1))
+          + assemble._overshoot_extra(al1, assemble.OVERSHOOT_CAP)
+          + np.abs(2 * ((p1 - ap) * e2b).sum(-1)))
+    d2_ = (np.abs(assemble._leaky_relu(al2))
+           + assemble._overshoot_extra(al2, assemble.OVERSHOOT_CAP)
+           + np.abs(2 * ((p2 - ap) * e2b).sum(-1)))
+    ends = d1.argmin(-1)      # end-side atom per bond
+    begins = d2_.argmin(-1)   # begin-side atom per bond
+
+    # Peak -> GT atom (same greedy protocol as stage_coverage).
+    gt_of_peak = {}
+    if len(amxy):
+        d = ((gt_xy[:, None, :] - amxy[None, :, :]) ** 2).sum(-1)
+        pairs = sorted((d[g, p], g, p) for g in range(len(gt_xy))
+                       for p in range(len(amxy)))
+        tg2, tp2 = set(), set()
+        for dist, g, p in pairs:
+            if dist > 4.0 or g in tg2 or p in tp2:
+                continue
+            tg2.add(g)
+            tp2.add(p)
+            gt_of_peak[p] = g
+    peak_of_gt = {g: p for p, g in gt_of_peak.items()}
+
+    theft = theft_rep = 0
+    for p, g in gt_of_bond.items():
+        g1, g2, _, _ = gt_bonds[g]
+        # Assembler convention: begin side is p2 = bxy - bdelta
+        # (atom_index1 = d2.argmin), end side is p1 = bxy + bdelta;
+        # orient the GT pair by which GT endpoint is closer to p2.
+        pa = np.asarray([gt_xy[g1], gt_xy[g2]])
+        d_beg = ((pa - (bxy[p] - bdelta[p])) ** 2).sum(-1)
+        gb, ge = (g1, g2) if d_beg[0] <= d_beg[1] else (g2, g1)
+        for side_atom, side_gt in ((int(begins[p]), gb), (int(ends[p]), ge)):
+            got = gt_of_peak.get(side_atom)
+            if got is not None and got != side_gt:
+                theft += 1
+                if side_gt in peak_of_gt:
+                    theft_rep += 1
+    return fp, theft, theft_rep, missed
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     snap = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -175,7 +282,8 @@ def main():
             if s is not None:
                 samples.append(s)
         agg = {"detector": 0, "dedup": 0, "unbonded": 0, "stolen": 0,
-               "mols_affected": 0, "exact": 0}
+               "mols_affected": 0, "exact": 0,
+               "bond_fp": 0, "theft": 0, "theft_rep": 0, "bond_miss": 0}
         dedup_d2 = []
         truths, preds = [], []
         preds_norematch = []
@@ -195,15 +303,27 @@ def main():
                 from abcnet_tpu.data.encode import parse_bonds_string
                 bonds = parse_bonds_string(s.bonds_string)
                 gt_deg = [0] * len(atoms)
+                gt_bonds = []
                 for b in bonds:
                     # endpoints: nearest GT atoms to (x,y)+-(dx,dy)
+                    gends = []
                     for ex, ey in ((b.x + b.dx, b.y + b.dy),
                                    (b.x - b.dx, b.y - b.dy)):
                         d = ((gt_xy - [ex / vocab.STRIDE,
                                        ey / vocab.STRIDE]) ** 2).sum(-1)
-                        gt_deg[int(d.argmin())] += 1
+                        gends.append(int(d.argmin()))
+                        gt_deg[gends[-1]] += 1
+                    gt_bonds.append((gends[0], gends[1],
+                                     b.x / vocab.STRIDE,
+                                     b.y / vocab.STRIDE))
                 det, ded, unb, stol = stage_coverage(peaks, bi, gt_xy,
                                                      gt_deg)
+                bfp, bth, bthr, bmiss = classify_bonds(peaks, bi, gt_xy,
+                                                       gt_bonds)
+                agg["bond_fp"] += bfp
+                agg["theft"] += bth
+                agg["theft_rep"] += bthr
+                agg["bond_miss"] += bmiss
                 if smis[bi] == s.smiles:
                     agg["exact"] += 1
                 if det or ded or unb or stol:
@@ -217,6 +337,9 @@ def main():
               f"mols_affected={agg['mols_affected']} "
               f"lost: detector={agg['detector']} dedup={agg['dedup']} "
               f"unbonded={agg['unbonded']} overdeg={agg['stolen']}",
+              flush=True)
+        print(f"  bonds: fp={agg['bond_fp']} theft={agg['theft']} "
+              f"(repairable={agg['theft_rep']}) missed={agg['bond_miss']}",
               flush=True)
         if dedup_d2:
             print(f"  dedup-merge d^2 of distinct-GT merges: "
