@@ -73,6 +73,20 @@ _OVERSHOOT_EXTRA_SLOPE = 1.5
 # restores exact reference behavior.
 REMATCH_MAX = 3.0
 
+# Valence-aware FP-bond prune (r5, overdeg bucket of
+# logs/atom_drop_probe_r5.log: endpoint theft measured ZERO; the
+# over-valence states that trigger the reference's element rewrite —
+# its elem-swap failure bucket, img2smiles2.py:247-271 — are caused by
+# false-positive detected bonds). BEFORE rewriting an atom's element to
+# fit an impossible valence, drop its lowest-confidence incident bond
+# when (a) the bond's heatmap score is below this gate (probe: TP bonds
+# p5 ~0.78-0.85, median ~0.93; FP median 0.72-0.83), (b) dropping
+# resolves the violation, and (c) both endpoints keep degree >= 1.
+# Activates ONLY where the reference would rewrite an element.
+# 0.0 = disabled (exact reference behavior) until the n>=128 A/B gates
+# it in.
+VPRUNE_SCORE_MAX = 0.0
+
 
 def _overshoot_extra(along: np.ndarray, cap: float) -> np.ndarray:
     """Extra penalty for along-axis overshoot beyond `cap` (along is the
@@ -154,7 +168,8 @@ def _graph_to_smiles_once(types, charges, positions, hs, bond_pairs_1b,
 def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
                            overshoot_cap: float = OVERSHOOT_CAP,
                            subcell: bool = True,
-                           rematch_max: float = REMATCH_MAX
+                           rematch_max: float = REMATCH_MAX,
+                           vprune_score_max: float = VPRUNE_SCORE_MAX
                            ) -> Optional[str]:
     """C++ fast path: graph assembly AND the canonical-SMILES tail in
     native code (native/assemble.cpp + native/smiles.cpp — the decode
@@ -164,9 +179,14 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
     two."""
     from .native import (assemble_graph_native, graph_to_smiles_native,
                          load_native)
-    if load_native() is None:
+    # The C++ assembler does not implement the valence-aware prune yet
+    # (no ABI bump until the A/B gates it in) — route to the numpy path
+    # when it is requested.
+    if load_native() is None or (vprune_score_max
+                                 and vprune_score_max > 0):
         return assemble_smiles(peaks, index, overshoot_cap=overshoot_cap,
-                               subcell=subcell, rematch_max=rematch_max)
+                               subcell=subcell, rematch_max=rematch_max,
+                               vprune_score_max=vprune_score_max)
     out = assemble_graph_native(peaks, index, overshoot_cap, subcell,
                                 rematch_max)
     if out is None:
@@ -181,7 +201,9 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
                     midpoint_check: Optional[float] = None,
                     overshoot_cap: float = OVERSHOOT_CAP,
                     subcell: bool = True,
-                    rematch_max: float = REMATCH_MAX) -> Optional[str]:
+                    rematch_max: float = REMATCH_MAX,
+                    vprune_score_max: float = VPRUNE_SCORE_MAX
+                    ) -> Optional[str]:
     """Decode one image's peaks (row `index` of the batch arrays).
 
     midpoint_check: optional grid-unit threshold reproducing the
@@ -237,6 +259,8 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
         bxy = bxy + np.asarray(peaks["bond_sub"][index][bv], np.float64)
     bdelta = peaks["bond_delta"][index][bv].astype(np.float64)
     btype = peaks["bond_type"][index][bv]
+    bscores = (np.asarray(peaks["bond_score"][index][bv], np.float64)
+               if "bond_score" in peaks else None)
     if len(bxy) == 0:
         return None
 
@@ -264,6 +288,7 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
     n_atoms = atoms_position.shape[0]
     bond_pairs: List[List[int]] = []
     bond_orders: List[int] = []
+    bond_scores: List[float] = []
     for i in range(len(bxy)):
         i1, i2 = int(atom_index1[i]), int(atom_index2[i])
         if i1 == i2:
@@ -291,6 +316,8 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
                 continue
         bond_pairs.append([i1, i2])
         bond_orders.append(vocab.BOND_DEVOCAB[int(btype[i])])
+        bond_scores.append(float(bscores[i]) if bscores is not None
+                           else 1.0)
     if not bond_pairs:
         return None
 
@@ -300,6 +327,44 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
         n = 1 if order_ >= 4 else order_
         counts[x] += n
         counts[y] += n
+
+    # Valence-aware FP-bond prune (see VPRUNE_SCORE_MAX above): runs
+    # strictly before — and only where — the reference element rewrite
+    # would fire.
+    if vprune_score_max and vprune_score_max > 0:
+        deg = [0] * len(types)
+        for x, y in bond_pairs:
+            deg[x] += 1
+            deg[y] += 1
+        drops: set = set()
+        for serial in range(len(types)):
+            while ATOM_MAX_VALENCE.get(types[serial], 4) < counts[serial]:
+                cands = [(bond_scores[k], k)
+                         for k, (x, y) in enumerate(bond_pairs)
+                         if k not in drops and serial in (x, y)
+                         and bond_scores[k] < vprune_score_max
+                         and deg[x] > 1 and deg[y] > 1]
+                if not cands:
+                    break
+                _, k = min(cands)
+                drops.add(k)
+                x, y = bond_pairs[k]
+                n = 1 if bond_orders[k] >= 4 else bond_orders[k]
+                counts[x] -= n
+                counts[y] -= n
+                deg[x] -= 1
+                deg[y] -= 1
+                if verbose:
+                    print(f"vprune bond {x}-{y} "
+                          f"score {bond_scores[k]:.3f}")
+        if drops:
+            bond_pairs = [p for k, p in enumerate(bond_pairs)
+                          if k not in drops]
+            bond_orders = [o for k, o in enumerate(bond_orders)
+                           if k not in drops]
+            if not bond_pairs:
+                return None
+
     for serial, count in enumerate(counts):
         if ATOM_MAX_VALENCE.get(types[serial], 4) < count:
             if verbose:
@@ -335,13 +400,15 @@ def assemble_smiles(peaks: Dict[str, np.ndarray], index: int,
 
 def _assemble_range(host: Dict[str, np.ndarray], lo: int, hi: int,
                     native: bool, subcell: bool,
-                    rematch_max: float = REMATCH_MAX
+                    rematch_max: float = REMATCH_MAX,
+                    vprune_score_max: float = VPRUNE_SCORE_MAX
                     ) -> List[Optional[str]]:
     """Worker task: assemble images [lo, hi) of a peak batch. A range
     per worker (instead of one task per image) pickles the batch dict
     once per worker instead of once per image."""
     fn = assemble_smiles_native if native else assemble_smiles
-    return [fn(host, i, subcell=subcell, rematch_max=rematch_max)
+    return [fn(host, i, subcell=subcell, rematch_max=rematch_max,
+               vprune_score_max=vprune_score_max)
             for i in range(lo, hi)]
 
 
@@ -363,7 +430,8 @@ def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
                    native: bool = True,
                    subcell: bool = True,
                    pool=None,
-                   rematch_max: float = REMATCH_MAX
+                   rematch_max: float = REMATCH_MAX,
+                   vprune_score_max: float = VPRUNE_SCORE_MAX
                    ) -> List[Optional[str]]:
     """Decode every image in a batch of peak arrays (host numpy).
 
@@ -381,18 +449,20 @@ def assemble_batch(peaks: Dict[str, np.ndarray], processes: int = 0,
         import multiprocessing as mp
         with mp.get_context("spawn").Pool(processes) as tmp:
             return assemble_batch(host, native=native, subcell=subcell,
-                                  pool=tmp, rematch_max=rematch_max)
+                                  pool=tmp, rematch_max=rematch_max,
+                                  vprune_score_max=vprune_score_max)
     if pool is not None and n > 1:
         workers = getattr(pool, "n_workers", None) or getattr(
             pool, "_processes", None) or 2
         step = -(-n // workers)
         ranges = [(host, lo, min(lo + step, n), native, subcell,
-                   rematch_max)
+                   rematch_max, vprune_score_max)
                   for lo in range(0, n, step)]
         out: List[Optional[str]] = []
         for part in pool.starmap(_assemble_range, ranges):
             out.extend(part)
         return out
     fn = assemble_smiles_native if native else assemble_smiles
-    return [fn(host, i, subcell=subcell, rematch_max=rematch_max)
+    return [fn(host, i, subcell=subcell, rematch_max=rematch_max,
+               vprune_score_max=vprune_score_max)
             for i in range(n)]

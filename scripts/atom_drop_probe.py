@@ -193,7 +193,7 @@ def classify_bonds(peaks, index, gt_xy, gt_bonds):
         bxy = bxy + np.asarray(peaks["bond_sub"][index][bv], np.float64)
     bdelta = peaks["bond_delta"][index][bv].astype(np.float64)
     if not len(bxy):
-        return 0, 0, 0, len(gt_bonds)
+        return 0, 0, 0, len(gt_bonds), []
 
     # Predicted-bond -> GT-bond greedy matching by center distance.
     gt_c = np.asarray([[cx, cy] for _, _, cx, cy in gt_bonds],
@@ -247,6 +247,20 @@ def classify_bonds(peaks, index, gt_xy, gt_bonds):
             gt_of_peak[p] = g
     peak_of_gt = {g: p for p, g in gt_of_peak.items()}
 
+    # Per-bond separability features for a would-be FP prune: the
+    # heatmap score, the worse of the two endpoint match distances, and
+    # length consistency |dist(matched atoms) - 2|delta||.
+    feats = []
+    bscore = peaks.get("bond_score")
+    for p in range(len(bxy)):
+        a, b = int(begins[p]), int(ends[p])
+        worse = float(max(d2_[p, a], d1[p, b]))
+        blen = 2.0 * float(np.sqrt((bdelta[p] ** 2).sum()))
+        alen = float(np.sqrt(((amxy[a] - amxy[b]) ** 2).sum())) \
+            if a != b else 0.0
+        sc = float(bscore[index][bv][p]) if bscore is not None else -1.0
+        feats.append((p in gt_of_bond, sc, worse, abs(alen - blen)))
+
     theft = theft_rep = 0
     for p, g in gt_of_bond.items():
         g1, g2, _, _ = gt_bonds[g]
@@ -262,7 +276,7 @@ def classify_bonds(peaks, index, gt_xy, gt_bonds):
                 theft += 1
                 if side_gt in peak_of_gt:
                     theft_rep += 1
-    return fp, theft, theft_rep, missed
+    return fp, theft, theft_rep, missed, feats
 
 
 def main():
@@ -285,8 +299,10 @@ def main():
                "mols_affected": 0, "exact": 0,
                "bond_fp": 0, "theft": 0, "theft_rep": 0, "bond_miss": 0}
         dedup_d2 = []
+        all_feats = []
         truths, preds = [], []
         preds_norematch = []
+        preds_vprune = []
         for lo in range(0, n, BATCH):
             chunk = samples[lo:lo + BATCH]
             peaks = run(np.stack([s.image for s in chunk]))
@@ -294,6 +310,8 @@ def main():
             smis = assemble.assemble_batch(peaks)
             preds_norematch.extend(
                 assemble.assemble_batch(peaks, rematch_max=0.0))
+            preds_vprune.extend(
+                assemble.assemble_batch(peaks, vprune_score_max=0.8))
             for bi, s in enumerate(chunk):
                 truths.append(s.smiles)
                 preds.append(smis[bi])
@@ -318,12 +336,13 @@ def main():
                                      b.y / vocab.STRIDE))
                 det, ded, unb, stol = stage_coverage(peaks, bi, gt_xy,
                                                      gt_deg)
-                bfp, bth, bthr, bmiss = classify_bonds(peaks, bi, gt_xy,
-                                                       gt_bonds)
+                bfp, bth, bthr, bmiss, feats = classify_bonds(
+                    peaks, bi, gt_xy, gt_bonds)
                 agg["bond_fp"] += bfp
                 agg["theft"] += bth
                 agg["theft_rep"] += bthr
                 agg["bond_miss"] += bmiss
+                all_feats.extend(feats)
                 if smis[bi] == s.smiles:
                     agg["exact"] += 1
                 if det or ded or unb or stol:
@@ -341,12 +360,23 @@ def main():
         print(f"  bonds: fp={agg['bond_fp']} theft={agg['theft']} "
               f"(repairable={agg['theft_rep']}) missed={agg['bond_miss']}",
               flush=True)
+        for name, idx in (("score", 1), ("worse_end", 2), ("len_err", 3)):
+            tp = sorted(f[idx] for f in all_feats if f[0])
+            fpd = sorted(f[idx] for f in all_feats if not f[0])
+            q = lambda v, p: v[int(p * (len(v) - 1))] if v else float("nan")  # noqa: E731
+            print(f"  {name}: TP p5/p50/p95="
+                  f"{q(tp, .05):.3f}/{q(tp, .5):.3f}/{q(tp, .95):.3f}  "
+                  f"FP p5/p50/p95="
+                  f"{q(fpd, .05):.3f}/{q(fpd, .5):.3f}/{q(fpd, .95):.3f} "
+                  f"(nTP={len(tp)} nFP={len(fpd)})", flush=True)
         if dedup_d2:
             print(f"  dedup-merge d^2 of distinct-GT merges: "
                   f"{sorted(round(d, 2) for d in dedup_d2)}", flush=True)
         print(f"  score[rematch]   {score_pairs(truths, preds)}",
               flush=True)
         print(f"  score[reference] {score_pairs(truths, preds_norematch)}",
+              flush=True)
+        print(f"  score[vprune0.8] {score_pairs(truths, preds_vprune)}",
               flush=True)
 
 
