@@ -179,16 +179,12 @@ def assemble_smiles_native(peaks: Dict[str, np.ndarray], index: int,
     two."""
     from .native import (assemble_graph_native, graph_to_smiles_native,
                          load_native)
-    # The C++ assembler does not implement the valence-aware prune yet
-    # (no ABI bump until the A/B gates it in) — route to the numpy path
-    # when it is requested.
-    if load_native() is None or (vprune_score_max
-                                 and vprune_score_max > 0):
+    if load_native() is None:
         return assemble_smiles(peaks, index, overshoot_cap=overshoot_cap,
                                subcell=subcell, rematch_max=rematch_max,
                                vprune_score_max=vprune_score_max)
     out = assemble_graph_native(peaks, index, overshoot_cap, subcell,
-                                rematch_max)
+                                rematch_max, vprune_score_max)
     if out is None:
         return None
     pos, a_type, a_charge, a_hs, bonds, b_orders = out

@@ -30,7 +30,7 @@ _F64P = ctypes.POINTER(ctypes.c_double)
 # .so built before a signature change loads fine under ctypes and
 # silently ignores trailing arguments (x86-64 calling convention), so
 # version-gate instead of trusting the file.
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 
 @functools.lru_cache(maxsize=1)
@@ -57,6 +57,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         _I32P, _F32P, _I32P, _U8P, ctypes.c_int32,
         _F64P, _I32P, _I32P, _I32P, _I32P, _I32P, _I32P,
         ctypes.c_double, _F32P, _F32P, ctypes.c_double,
+        _F32P, ctypes.c_double,
     ]
     lib.graph_to_smiles.restype = ctypes.c_int32
     lib.graph_to_smiles.argtypes = [
@@ -118,7 +119,8 @@ def graph_to_smiles_native(pos: np.ndarray, type_cls: np.ndarray,
 def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
                           overshoot_cap: Optional[float] = None,
                           subcell: bool = True,
-                          rematch_max: Optional[float] = None
+                          rematch_max: Optional[float] = None,
+                          vprune_score_max: Optional[float] = None
                           ) -> Optional[Tuple]:
     """Run the C++ assembler for one image. Returns
     (atom_pos [A,2], atom_type [A], atom_charge [A], atom_hs [A],
@@ -136,6 +138,9 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
     if rematch_max is None:
         from .assemble import REMATCH_MAX
         rematch_max = REMATCH_MAX
+    if vprune_score_max is None:
+        from .assemble import VPRUNE_SCORE_MAX
+        vprune_score_max = VPRUNE_SCORE_MAX
 
     axy = np.ascontiguousarray(peaks["atom_xy"][index], np.int32)
     at = np.ascontiguousarray(peaks["atom_type"][index], np.int32)
@@ -146,6 +151,8 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
     bd = np.ascontiguousarray(peaks["bond_delta"][index], np.float32)
     bt = np.ascontiguousarray(peaks["bond_type"][index], np.int32)
     bv = np.ascontiguousarray(peaks["bond_valid"][index], np.uint8)
+    bsc = (np.ascontiguousarray(peaks["bond_score"][index], np.float32)
+           if "bond_score" in peaks else None)
     ka = np.int32(axy.shape[0])
     kb = np.int32(bxy.shape[0])
 
@@ -171,7 +178,9 @@ def assemble_graph_native(peaks: Dict[str, np.ndarray], index: int,
         _p(n_bonds, _I32P), ctypes.c_double(overshoot_cap),
         _p(asub, _F32P) if asub is not None else null_f32,
         _p(bsub, _F32P) if bsub is not None else null_f32,
-        ctypes.c_double(rematch_max))
+        ctypes.c_double(rematch_max),
+        _p(bsc, _F32P) if bsc is not None else null_f32,
+        ctypes.c_double(vprune_score_max))
     if na < 0:
         return None
     nb = int(n_bonds[0])

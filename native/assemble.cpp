@@ -73,8 +73,10 @@ extern "C" {
 // load fine and silently ignore trailing arguments on x86-64).
 // History: 1 = original assemble_graph; 2 = + overshoot_cap double;
 // 3 = + nullable atom_sub/bond_sub float32 sub-cell offset arrays;
-// 5 = + rematch_max double (self-loop bond re-matching).
-int32_t abcnet_native_abi_version(void) { return 5; }
+// 5 = + rematch_max double (self-loop bond re-matching);
+// 6 = + nullable bond_score float32 [kb] + vprune_score_max double
+//     (valence-aware FP-bond prune).
+int32_t abcnet_native_abi_version(void) { return 6; }
 
 // Assemble one image's peaks into a molecular graph.
 //
@@ -107,7 +109,8 @@ int32_t assemble_graph(
     int32_t* out_atom_charge, int32_t* out_atom_hs,
     int32_t* out_bonds, int32_t* out_bond_type, int32_t* out_n_bonds,
     double overshoot_cap, const float* atom_sub, const float* bond_sub,
-    double rematch_max) {
+    double rematch_max, const float* bond_score,
+    double vprune_score_max) {
   // Along-axis overshoot penalty beyond the cap (see
   // infer/assemble.py:OVERSHOOT_CAP); cap <= 0 = reference behavior.
   auto overshoot_extra = [overshoot_cap](double along) {
@@ -154,6 +157,7 @@ int32_t assemble_graph(
   // ---- endpoint matching (img2smiles2.py:193-210) ----
   std::vector<std::pair<int, int>> pairs;
   std::vector<int32_t> orders;
+  std::vector<float> scores;
   for (int b = 0; b < kb; ++b) {
     if (!bond_valid[b]) continue;
     double px = bond_xy[2 * b], py = bond_xy[2 * b + 1];
@@ -221,6 +225,7 @@ int32_t assemble_graph(
     pairs.emplace_back(best1, best2);
     // class 0..5 -> molblock order 1..6 (vocab BOND_DEVOCAB).
     orders.push_back(bond_type[b] + 1);
+    scores.push_back(bond_score ? bond_score[b] : 1.0f);
   }
   if (pairs.empty()) return -1;
 
@@ -236,6 +241,63 @@ int32_t assemble_graph(
     counts[pairs[i].first] += n;
     counts[pairs[i].second] += n;
   }
+
+  // ---- valence-aware FP-bond prune (infer/assemble.py:
+  // VPRUNE_SCORE_MAX — endpoint theft measured zero; the over-valence
+  // states that trigger the reference element rewrite come from
+  // false-positive detected bonds). Before rewriting, drop the
+  // lowest-score incident bond when it is under the gate, the drop
+  // resolves the violation, and both endpoints keep degree >= 1.
+  // <= 0 (or no scores) = exact reference behavior. ----
+  std::vector<char> droppedv(pairs.size(), 0);
+  if (vprune_score_max > 0 && bond_score) {
+    std::vector<int> deg(na, 0);
+    for (const auto& pr : pairs) {
+      deg[pr.first] += 1;
+      deg[pr.second] += 1;
+    }
+    for (int a = 0; a < na; ++a) {
+      for (;;) {
+        int cls = atoms[a].type;
+        int maxv = (cls >= 0 && cls < 14) ? kMaxValence[cls] : 4;
+        if (counts[a] <= maxv) break;
+        int best = -1;
+        float bestScore = 0.0f;
+        for (size_t i = 0; i < pairs.size(); ++i) {
+          if (droppedv[i]) continue;
+          int x = pairs[i].first, y = pairs[i].second;
+          if (x != a && y != a) continue;
+          if (scores[i] >= vprune_score_max) continue;
+          if (deg[x] <= 1 || deg[y] <= 1) continue;
+          if (best < 0 || scores[i] < bestScore) {
+            best = static_cast<int>(i);
+            bestScore = scores[i];
+          }
+        }
+        if (best < 0) break;
+        droppedv[best] = 1;
+        int x = pairs[best].first, y = pairs[best].second;
+        int n = orders[best] >= 4 ? 1 : orders[best];
+        counts[x] -= n;
+        counts[y] -= n;
+        deg[x] -= 1;
+        deg[y] -= 1;
+      }
+    }
+    size_t w = 0;
+    for (size_t i = 0; i < pairs.size(); ++i) {
+      if (droppedv[i]) continue;
+      pairs[w] = pairs[i];
+      orders[w] = orders[i];
+      scores[w] = scores[i];
+      ++w;
+    }
+    pairs.resize(w);
+    orders.resize(w);
+    scores.resize(w);
+    if (pairs.empty()) return -1;
+  }
+
   for (int a = 0; a < na; ++a) {
     int cls = atoms[a].type;
     int maxv = (cls >= 0 && cls < 14) ? kMaxValence[cls] : 4;
