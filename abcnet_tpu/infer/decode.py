@@ -574,3 +574,64 @@ def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
         return _run(bits)
 
     return run
+
+
+# ---------------------------------------------------------------------
+# Packed peak transport: under a high-round-trip transport (the axon
+# tunnel costs ~27 ms per device->host fetch) downloading the ~13 peak
+# arrays one by one dominates serving e2e (measured 149.9 img/s against
+# a 1178 img/s device pipeline, logs/bench_r5.log). Packing every
+# integer-typed array into one int32 buffer and every float array into
+# one float32 buffer per batch makes the download TWO fetches; the
+# reference has no equivalent stage (its decode loop reads local CUDA
+# tensors, img2smiles2.py:104-150).
+
+
+def peaks_spec(peaks):
+    """Static packing layout for a peak dict: two tuples (int-typed,
+    float-typed) of (key, trailing_shape, dtype_name, flat_width),
+    ordered by key. Works on concrete or abstract arrays."""
+    ispec, fspec = [], []
+    for k in sorted(peaks):
+        v = peaks[k]
+        tail = tuple(v.shape[1:])
+        width = 1
+        for t in tail:
+            width *= t
+        dt = str(np.dtype(v.dtype))
+        if np.issubdtype(np.dtype(v.dtype), np.floating):
+            fspec.append((k, tail, dt, width))
+        else:
+            ispec.append((k, tail, dt, width))
+    return tuple(ispec), tuple(fspec)
+
+
+def pack_peaks(peaks):
+    """Device-side: concatenate the peak dict into (int32 [B, Ni],
+    float32 [B, Nf]) per the peaks_spec layout. Traceable under jit;
+    unpack with unpack_peaks_host after fetching."""
+    ispec, fspec = peaks_spec(peaks)
+    b = peaks[next(iter(peaks))].shape[0]
+
+    def cat(spec, dtype):
+        parts = [peaks[k].reshape(b, -1).astype(dtype)
+                 for k, _, _, _ in spec]
+        return (jnp.concatenate(parts, axis=1) if parts
+                else jnp.zeros((b, 0), dtype))
+
+    return cat(ispec, jnp.int32), cat(fspec, jnp.float32)
+
+
+def unpack_peaks_host(ibuf, fbuf, spec) -> Dict[str, "np.ndarray"]:
+    """Host-side inverse of pack_peaks. ibuf/fbuf may be device arrays
+    (each triggers exactly one value fetch) or numpy."""
+    ispec, fspec = spec
+    out = {}
+    for buf, part in ((np.asarray(ibuf), ispec), (np.asarray(fbuf),
+                                                  fspec)):
+        o = 0
+        for k, tail, dt, width in part:
+            v = buf[:, o:o + width].reshape((buf.shape[0],) + tail)
+            o += width
+            out[k] = v if str(v.dtype) == dt else v.astype(dt)
+    return out

@@ -449,22 +449,38 @@ def _run(args) -> None:
     # reported number.
     e2e_model_ips = BATCH / max(pipe_dt / ITERS, assemble_dt)
 
-    # MEASURED overlapped e2e: dispatch batch i (async under the
-    # tunnel), assemble batch i-1 on the host while the device runs,
-    # then value-fetch batch i. Exactly ITERS batches complete BOTH
-    # stages inside the timed window; the C++ assembler runs during
-    # ctypes calls with the GIL released, so host assembly genuinely
-    # overlaps device execution even on this 1-core box.
+    # MEASURED overlapped e2e with PACKED peak transport: the ~13 peak
+    # arrays are concatenated on device into one int32 + one float32
+    # buffer (infer/decode.py:pack_peaks), so the download is TWO
+    # fetches per batch instead of ~13 — under the tunnel each fetch is
+    # a full round trip (~27 ms) and the per-array download alone was
+    # 150 img/s worth of serial RTT (logs/bench_r5.log, first run).
+    # Batch i+1 is DISPATCHED before batch i is fetched: download and
+    # host assembly overlap device execution of the next batch (the C++
+    # assembler releases the GIL during ctypes calls).
+    from abcnet_tpu.infer.decode import (pack_peaks, peaks_spec,
+                                         unpack_peaks_host)
+    spec = peaks_spec(host_peaks)
+
+    @jax.jit
+    def infer_step_packed(buf, carry):
+        peaks, c2 = infer_pipeline(variables, buf, carry)
+        ibuf, fbuf = pack_peaks(peaks)
+        return ibuf, fbuf, c2
+
     c = jnp.uint8(0)
-    prev = None
+    pi, pf, c = infer_step_packed(buffers[0], c)   # warmup/compile
+    unpack_peaks_host(pi, pf, spec)
     n_ok = 0
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out, c = infer_step(buffers[i % len(buffers)], c)
-        if prev is not None:
-            n_ok += sum(s is not None for s in assemble_batch(prev))
-        prev = {k: np.asarray(v) for k, v in out.items()}
-    n_ok += sum(s is not None for s in assemble_batch(prev))
+    pi, pf, c = infer_step_packed(buffers[0], c)
+    for i in range(1, ITERS):
+        ni, nf, c = infer_step_packed(buffers[i % len(buffers)], c)
+        host = unpack_peaks_host(pi, pf, spec)     # fetch prev (2 RTT)
+        n_ok += sum(s is not None for s in assemble_batch(host))
+        pi, pf = ni, nf
+    host = unpack_peaks_host(pi, pf, spec)
+    n_ok += sum(s is not None for s in assemble_batch(host))
     e2e_dt = time.perf_counter() - t0
     e2e_ips = BATCH * ITERS / e2e_dt
 
