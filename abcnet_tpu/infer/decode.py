@@ -519,7 +519,7 @@ def extract_peaks_sparse(heatmaps: Dict[str, jnp.ndarray],
 
 def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
                         threshold: float = 0.6, sparse: bool = True,
-                        quant: dict = None):
+                        quant: dict = None, packed: bool = True):
     """Fused inference pipeline: uint8 batch -> peak arrays, optionally
     sharded over a data-parallel mesh (the multi-chip batched-inference
     role of the reference's DataParallel forward + Pool decode,
@@ -567,11 +567,27 @@ def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
         preds = state.apply_fn(variables, images, train=False)
         return extract_peaks(preds, cfg)
 
+    # Packed transport (default): the peak dict is concatenated into
+    # one int32 + one float32 buffer INSIDE the jitted program and
+    # unpacked on host, so fetching a batch's peaks costs two device
+    # round trips instead of ~13 — the difference between 150 and
+    # ~1000 img/s serving under the axon tunnel (logs/bench_r5.log).
+    @jax.jit
+    def _run_packed(image_bits):
+        return pack_peaks(_run(image_bits))
+
+    spec_cache = {}
+
     def run(image_u8):
         bits = pack_images(onp.asarray(image_u8), threshold)
         if mesh is not None:
             bits = shard_batch({"x": bits}, mesh)["x"]
-        return _run(bits)
+        if not packed:
+            return _run(bits)
+        if "spec" not in spec_cache:
+            spec_cache["spec"] = peaks_spec(jax.eval_shape(_run, bits))
+        ibuf, fbuf = _run_packed(bits)
+        return unpack_peaks_host(ibuf, fbuf, spec_cache["spec"])
 
     return run
 
