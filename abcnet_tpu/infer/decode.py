@@ -541,6 +541,13 @@ def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
 
     if quant is not None and not sparse:
         raise ValueError("quant backbone requires sparse=True")
+    # Packed transport ends in a HOST fetch of the whole batch's
+    # buffers; under a multi-process mesh the global array spans
+    # non-addressable shards and np.asarray is illegal. Each process
+    # keeps the device-side peak dict instead (its local shards are
+    # what the per-host assembly pool consumes anyway).
+    if packed and jax.process_count() > 1:
+        packed = False
     cfg = decode_cfg or DecodeConfig()
     model_dtype = getattr(state.apply_fn, "__self__", None)
     # state.apply_fn is UNet.apply (bound); recover the module dtype for
