@@ -121,12 +121,21 @@ def _cmd_img2smiles(args) -> None:
     if args.processes and args.processes > 1:
         from .infer.assemble import make_assembly_pool
         pool = make_assembly_pool(args.processes)
-    # Double-buffered serving loop: jax dispatch is async, so batch
-    # i+1's device program is launched BEFORE batch i's host graph
-    # assembly runs — the device computes while the host assembles
-    # (the two-stage steady state bench.py's pipelined loop measures;
-    # the reference serializes forward and decode, img2smiles2.py:52-317).
-    pending = None          # (peaks, n_real)
+    # Three-way overlapped serving loop: batch i+1's device program is
+    # dispatched (async) before batch i is consumed, batch i+1's peak
+    # download runs on a fetch thread (device->host copies release the
+    # GIL), and the main thread assembles batch i meanwhile — steady
+    # state is max(compute, fetch, assemble) rather than their sum
+    # (the reference serializes forward and decode,
+    # img2smiles2.py:52-317; bench.py's e2e loop measures this shape).
+    from concurrent.futures import ThreadPoolExecutor
+    # Any pipeline callable works: one without the dispatch/fetch split
+    # (e.g. a custom decode fn) degrades to dispatch=run, fetch=identity
+    # — still double-buffered, just without the threaded download.
+    dispatch = getattr(run, "dispatch", run)
+    fetch = getattr(run, "fetch", lambda h: h)
+    pending = None          # (Future -> host peaks, n_real)
+    fetcher = ThreadPoolExecutor(max_workers=1)
     try:
         for i in range(0, len(samples), bs):
             chunk = samples[i:i + bs]
@@ -138,18 +147,20 @@ def _cmd_img2smiles(args) -> None:
                 # (img2smiles2.py:342-344); silently truncating len%bs
                 # samples is not parity.
                 chunk = chunk + [chunk[-1]] * (bs - k)
-            peaks = run(np.stack([s.image for s in chunk]))
+            handle = dispatch(np.stack([s.image for s in chunk]))
+            fut = fetcher.submit(fetch, handle)
             truths.extend(s.smiles for s in chunk[:k])
             if pending is not None:
-                preds_all.extend(
-                    assemble_batch(pending[0], pool=pool)[:pending[1]])
-            pending = (peaks, k)
+                preds_all.extend(assemble_batch(
+                    pending[0].result(), pool=pool)[:pending[1]])
+            pending = (fut, k)
             if (i // bs) % 10 == 0:
                 print(f"{min(i + bs, len(samples))}/{len(samples)}")
         if pending is not None:
-            preds_all.extend(
-                assemble_batch(pending[0], pool=pool)[:pending[1]])
+            preds_all.extend(assemble_batch(
+                pending[0].result(), pool=pool)[:pending[1]])
     finally:
+        fetcher.shutdown(wait=False)
         if pool is not None:
             pool.close()
     write_results_csv(args.out, truths, preds_all)

@@ -585,7 +585,14 @@ def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
 
     spec_cache = {}
 
-    def run(image_u8):
+    def dispatch(image_u8):
+        """Async half of run(): preprocess on host, launch the device
+        program, return an opaque handle WITHOUT any host value fetch
+        (jax dispatch is async). Pair with run.fetch — under the axon
+        tunnel the fetch costs ~27 ms per buffer, so a serving loop
+        that dispatches batch i+1 and assembles batch i while a fetch
+        thread downloads batch i+1 reaches
+        max(compute, fetch, assemble) instead of their sum."""
         bits = pack_images(onp.asarray(image_u8), threshold)
         if mesh is not None:
             bits = shard_batch({"x": bits}, mesh)["x"]
@@ -593,9 +600,25 @@ def make_infer_pipeline(state, mesh=None, decode_cfg: "DecodeConfig" = None,
             return _run(bits)
         if "spec" not in spec_cache:
             spec_cache["spec"] = peaks_spec(jax.eval_shape(_run, bits))
-        ibuf, fbuf = _run_packed(bits)
+        return _run_packed(bits)
+
+    def fetch(handle):
+        """Blocking half: device->host value fetch (two round trips in
+        packed mode) -> host-side peak dict. Safe to call from a
+        worker thread: np.asarray blocks in the runtime with the GIL
+        released, so the download overlaps main-thread dispatch and
+        C++ assembly."""
+        if not packed:
+            return handle
+        ibuf, fbuf = handle
         return unpack_peaks_host(ibuf, fbuf, spec_cache["spec"])
 
+    def run(image_u8):
+        return fetch(dispatch(image_u8))
+
+    run.dispatch = dispatch
+    run.fetch = fetch
+    run.packed = packed
     return run
 
 

@@ -20,7 +20,7 @@ class _FakeSample:
         self.smiles = "C"
 
 
-def _run_cli(tmp_path, monkeypatch, n_samples, bs):
+def _run_cli(tmp_path, monkeypatch, n_samples, bs, split=False):
     from abcnet_tpu import __main__ as cli
 
     events = []
@@ -43,6 +43,12 @@ def _run_cli(tmp_path, monkeypatch, n_samples, bs):
             events.append(("run", int(images[0, 0, 0])))
             # peaks stand-in: first-pixel tags of the batch images
             return images[:, 0, 0].copy()
+        if split:
+            # Production pipelines expose the async dispatch/fetch
+            # split; the CLI must use it with identical results.
+            run.dispatch = run
+            run.fetch = lambda h: (events.append(("fetch", int(h[0])))
+                                   or h)
         return run
 
     def fake_assemble(peaks, processes=None, pool=None):
@@ -72,6 +78,21 @@ def test_double_buffered_order(tmp_path, monkeypatch, capsys):
     assert events[2] == ("asm", 0)
     assert events[-1] == ("asm", 8)
     assert [a[1] for a in asms] == [0, 4, 8]
+
+
+def test_split_pipeline_threaded_fetch(tmp_path, monkeypatch, capsys):
+    """With a dispatch/fetch pipeline the CLI downloads on a worker
+    thread; dispatch order and assembly order/results are unchanged."""
+    events, out = _run_cli(tmp_path, monkeypatch, n_samples=12, bs=4,
+                           split=True)
+    runs = [e for e in events if e[0] == "run"]
+    asms = [e for e in events if e[0] == "asm"]
+    fets = [e for e in events if e[0] == "fetch"]
+    assert [r[1] for r in runs] == [0, 4, 8]
+    assert [a[1] for a in asms] == [0, 4, 8]
+    assert sorted(f[1] for f in fets) == [0, 4, 8]
+    import pandas as pd
+    assert len(pd.read_csv(out)) == 12
 
 
 def test_trailing_batch_padded_and_scored(tmp_path, monkeypatch, capsys):

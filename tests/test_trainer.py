@@ -206,3 +206,16 @@ def test_mesh_sharded_inference(tiny_setup):
         0, 256, (8, 128, 128), dtype=np.uint8)
     peaks = run(imgs)
     assert peaks["atom_xy"].shape[0] == 8
+    # The async dispatch/fetch split (the overlapped serving loop's
+    # primitive) must be bit-identical to the one-shot run().
+    split = run.fetch(run.dispatch(imgs))
+    assert set(split) == set(peaks)
+    for k in peaks:
+        np.testing.assert_array_equal(np.asarray(split[k]),
+                                      np.asarray(peaks[k]), err_msg=k)
+    # And safe from a worker thread (the production loop fetches there).
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(1) as ex:
+        threaded = ex.submit(run.fetch, run.dispatch(imgs)).result()
+    np.testing.assert_array_equal(np.asarray(threaded["atom_xy"]),
+                                  np.asarray(peaks["atom_xy"]))
