@@ -31,6 +31,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Snapshot IO must never touch the axon tunnel: under a live trainer
+# the remote-compile pool blocks until the 600 s subprocess timeout
+# (observed at steps 35000/37500, r5 resumed segment — the subprocess
+# sat futex-parked with ~0 CPU). When this module is driving a
+# CPU-platform process, scrub the remote-compile routing BEFORE jax is
+# imported, exactly like the eval chain's CPUENV does.
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -58,10 +68,23 @@ def _unflatten(flat):
     return tree
 
 
+def _cpu_device():
+    # Snapshot IO is host work. Without this pin, create_state's flax
+    # init and the orbax restore dispatch to the session's default
+    # backend — under the axon tunnel that contends with a live
+    # trainer for the chip (observed: the in-training snapshot at
+    # step 35000/37500 blew the 600 s subprocess timeout while
+    # earlier, uncontended saves took seconds).
+    import jax
+    return jax.local_devices(backend="cpu")[0]
+
+
 def save(ckpt_dir: str, name: str) -> str:
+    import jax
     from abcnet_tpu.train import trainer
-    state = trainer.restore_checkpoint(
-        trainer.create_state(trainer.TrainConfig()), ckpt_dir)
+    with jax.default_device(_cpu_device()):
+        state = trainer.restore_checkpoint(
+            trainer.create_state(trainer.TrainConfig()), ckpt_dir)
     step = int(state.step)
     arrays = {}
     for key, v in _flatten(state.params, "params").items():
@@ -93,12 +116,14 @@ def save(ckpt_dir: str, name: str) -> str:
 
 
 def restore(npz_path: str, ckpt_dir: str) -> None:
+    import jax
     from abcnet_tpu.train import trainer
     z = np.load(npz_path)
     step = int(z["__step__"])
     flat = {k: z[k] for k in z.files if k != "__step__"}
     tree = _unflatten(flat)
-    state = trainer.create_state(trainer.TrainConfig())
+    with jax.default_device(_cpu_device()):
+        state = trainer.create_state(trainer.TrainConfig())
     # Cast params back to the dtypes create_state produced (f32 master
     # weights) so optax/orbax trees match exactly.
     import jax
