@@ -112,6 +112,7 @@ def _chain_ancestor(pid: int) -> bool:
 _CHIP_HOLDERS = [
     ("/tmp/round4_chain.pid", "/tmp/round4_stage.pid", False),
     ("/tmp/watchdog_r5.pid", "/tmp/train_r5.pid", True),
+    ("/tmp/round5d_chain.pid", "/tmp/round5d_stage.pid", True),
 ]
 
 
@@ -550,6 +551,7 @@ def _run(args) -> None:
         "decode_mode": "dense" if args.dense else "sparse",
         "tunnel_rtt_ms": round(rtt_ms, 1),
         "contended_procs": contended,
+        "host_cpus": os.cpu_count(),
     }))
 
 
