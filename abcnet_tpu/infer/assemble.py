@@ -83,9 +83,15 @@ REMATCH_MAX = 3.0
 # p5 ~0.78-0.85, median ~0.93; FP median 0.72-0.83), (b) dropping
 # resolves the violation, and (c) both endpoints keep degree >= 1.
 # Activates ONLY where the reference would rewrite an element.
-# 0.0 = disabled (exact reference behavior) until the n>=128 A/B gates
-# it in.
-VPRUNE_SCORE_MAX = 0.0
+# ADOPTED at 0.85 by the n=256/lineage chip A/B on the step-37500
+# production weights (logs/vprune_r5d.log): combined exact
+# 0.8164 -> 0.8262, rdkit 0.8594 -> 0.8672, indigo 0.7734 -> 0.7852,
+# dice up at every gate, decode_rate 1.0 — an exact win with no
+# per-lineage regression, matching the preliminary CPU A/B
+# (logs/vprune_cpu96.log). 0.90 tied on exact; 0.85 keeps the larger
+# margin below the true-bond score median (~0.93). Pass 0.0 for exact
+# reference behavior (img2smiles2.py:247-271 element rewrite).
+VPRUNE_SCORE_MAX = 0.85
 
 
 def _overshoot_extra(along: np.ndarray, cap: float) -> np.ndarray:

@@ -45,8 +45,18 @@ def _peaks(fp_score=0.5):
 
 
 def test_reference_rewrites_element():
-    s = assemble_smiles(_peaks(), 0)   # default: prune disabled
+    s = assemble_smiles(_peaks(), 0, vprune_score_max=0.0)  # reference
     assert s is not None and "P" in s, s
+
+
+def test_default_gate_adopted():
+    """Default = 0.85, adopted by the n=256 chip A/B
+    (logs/vprune_r5d.log); the low-confidence fifth bond is pruned on
+    the default path."""
+    from abcnet_tpu.infer.assemble import VPRUNE_SCORE_MAX
+    assert VPRUNE_SCORE_MAX == 0.85
+    s = assemble_smiles(_peaks(), 0)
+    assert s is not None and "P" not in s, s
 
 
 def test_vprune_drops_fp_bond_instead():
