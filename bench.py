@@ -112,7 +112,9 @@ def _chain_ancestor(pid: int) -> bool:
 _CHIP_HOLDERS = [
     ("/tmp/round4_chain.pid", "/tmp/round4_stage.pid", False),
     ("/tmp/watchdog_r5.pid", "/tmp/train_r5.pid", True),
+    ("/tmp/watchdog_r5e.pid", "/tmp/train_r5.pid", True),
     ("/tmp/round5d_chain.pid", "/tmp/round5d_stage.pid", True),
+    ("/tmp/round5e_chain.pid", "/tmp/round5e_stage.pid", True),
 ]
 
 
