@@ -73,9 +73,24 @@ def gray_scan(img: np.ndarray) -> np.ndarray:
     return (out * 255).astype(np.uint8)
 
 
+def erode_partial(img: np.ndarray, rng: random.Random,
+                  p: float) -> np.ndarray:
+    """Ragged stroke thinning: the 3x3 erosion applied to a Bernoulli
+    p-subset of pixels. Real scan/photocopy erosion is never uniform —
+    strokes thin raggedly, keeping SOME ink everywhere — and unlike the
+    full erosion (which deletes 1-2 px strokes outright, an unlearnable
+    target) a partial erosion leaves a learnable heat-map signal while
+    exposing the model to erosion statistics. p=1.0 == erode_strokes."""
+    full = erode_strokes(img)
+    nprng = np.random.default_rng(rng.randrange(2**31))
+    mask = nprng.random(img.shape) < p
+    return np.where(mask, full, img).astype(np.uint8)
+
+
 def random_degrade(img: np.ndarray, rng: random.Random,
                    threshold: float = 0.6,
-                   min_retention: float = 0.35) -> np.ndarray:
+                   min_retention: float = 0.35,
+                   hard: bool = False) -> np.ndarray:
     """One training-time degradation, drawn from the same families the
     degraded benchmark evaluates (scripts/degraded_bench.py VARIANTS).
     gray_scan is excluded: its fix is the binarize threshold (0.2), not
@@ -85,19 +100,46 @@ def random_degrade(img: np.ndarray, rng: random.Random,
     (measured: 15% ink left on a width-1 render) — a training image
     whose atoms have no ink is an unlearnable target that teaches the
     heatmap head to hallucinate. If the binarized ink retention drops
-    below ``min_retention`` the sample falls back to a mild downscale."""
-    k = rng.randrange(4)
-    if k == 0:
-        out = downscale(img, rng.randint(224, 448))
-    elif k == 1:
-        out = blur(img, rng.uniform(0.6, 2.2))
-    elif k == 2:
-        out = jpeg(img, rng.randint(10, 45))
+    below ``min_retention`` the sample falls back to a mild downscale.
+
+    ``hard=True`` is the robustness-fine-tune regime targeting the two
+    measured collapse cases (logs/degraded_r5d.log: blur_r2 0.2031,
+    erode 0.1797): the family draw is biased toward blur/erode, the
+    blur range brackets the benchmark's radius 2.0 (the default tops
+    out at 2.2 so r≈2 is a thin tail), and erosion is the partial
+    (ragged) kind — under the default regime the retention guard
+    replaces nearly every erode draw on thin-stroke renders with a
+    downscale, so the model trains on almost no erosion at all."""
+    if hard:
+        u = rng.random()
+        if u < 0.15:
+            out = downscale(img, rng.randint(224, 448))
+        elif u < 0.50:
+            out = blur(img, rng.uniform(1.2, 2.6))
+        elif u < 0.65:
+            out = jpeg(img, rng.randint(10, 45))
+        else:
+            out = erode_partial(img, rng, rng.uniform(0.6, 1.0))
     else:
-        out = erode_strokes(img)
+        k = rng.randrange(4)
+        if k == 0:
+            out = downscale(img, rng.randint(224, 448))
+        elif k == 1:
+            out = blur(img, rng.uniform(0.6, 2.2))
+        elif k == 2:
+            out = jpeg(img, rng.randint(10, 45))
+        else:
+            out = erode_strokes(img)
     ink0 = (img.astype(np.float32) / 255.0) < threshold
     ink = (out.astype(np.float32) / 255.0) < threshold
     denom = max(int(ink0.sum()), 1)
     if (ink & ink0).sum() / denom < min_retention:
+        if hard:
+            # Keep the erosion statistics in-distribution instead of
+            # swapping the family: retry ragged erosion at half rate.
+            out = erode_partial(img, rng, 0.5)
+            ink = (out.astype(np.float32) / 255.0) < threshold
+            if (ink & ink0).sum() / denom >= min_retention:
+                return out
         out = downscale(img, rng.randint(352, 448))
     return out

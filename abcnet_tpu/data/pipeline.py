@@ -75,16 +75,19 @@ def _geometric_augment(img_u8: np.ndarray, rng: random.Random,
 
 def sample_to_example(sample: Sample, rng: random.Random,
                       train: bool = True,
-                      degrade_p: float = 0.0) -> Example:
+                      degrade_p: float = 0.0,
+                      degrade_hard: bool = False) -> Example:
     """degrade_p > 0 applies one scan-style degradation (blur / erode /
     downscale / JPEG, data/degrade.py) to that fraction of training
     images — after the geometric augment, before binarization; label
     coordinates are unaffected. Default 0 keeps the reference's
-    salt/pepper-only training recipe (src/utils.py:73-80)."""
+    salt/pepper-only training recipe (src/utils.py:73-80).
+    degrade_hard=True draws from the hard-tail regime (blur/erode
+    biased — the robustness fine-tune; see degrade.random_degrade)."""
     img, p = _geometric_augment(sample.image, rng, train)
     if train and degrade_p > 0 and rng.random() < degrade_p:
         from .degrade import random_degrade
-        img = random_degrade(img, rng)
+        img = random_degrade(img, rng, hard=degrade_hard)
     atoms = parse_atoms_string(sample.atoms_string)
     bonds = parse_bonds_string(sample.bonds_string)
     labels = compact_labels(atoms, bonds, p.scale_x, p.scale_y,

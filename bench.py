@@ -115,6 +115,7 @@ _CHIP_HOLDERS = [
     ("/tmp/watchdog_r5e.pid", "/tmp/train_r5.pid", True),
     ("/tmp/round5d_chain.pid", "/tmp/round5d_stage.pid", True),
     ("/tmp/round5e_chain.pid", "/tmp/round5e_stage.pid", True),
+    ("/tmp/round5f_chain.pid", "/tmp/round5f_stage.pid", True),
 ]
 
 

@@ -41,8 +41,13 @@ BATCH = int(os.environ.get("FT_BATCH", 128))
 # Env overrides exist for the CPU insurance drive (tiny image budget →
 # concentrate the new-domain signal); the chip chain uses the defaults.
 LR = float(os.environ.get("FT_LR", 2.5e-5))
-DEGRADE_P = float(os.environ.get("FT_DEGRADE_P", 0.35))
-B_FRAC = float(os.environ.get("FT_B_FRAC", 0.25))
+DEGRADE_P = float(os.environ.get("FT_DEGRADE_P", 0.40))
+B_FRAC = float(os.environ.get("FT_B_FRAC", 0.15))
+# Hard-tail degradation regime (blur/erode biased, partial erosion) —
+# the r5 main run already trains degrade_p=0.10 on the DEFAULT regime
+# and still collapses on blur_r2/erode (logs/degraded_r5d.log), so the
+# fine-tune targets the measured tail. FT_HARD=0 restores the r4 form.
+HARD = os.environ.get("FT_HARD", "1") != "0"
 B_POOL_N = 24000
 
 
@@ -55,7 +60,7 @@ def main():
     import random
     deadline = float(sys.argv[1])
     pool_path = sys.argv[2] if len(sys.argv) > 2 else \
-        "/root/repo/data_cache/pool_90k.npz"
+        "/root/repo/data_cache/pool_r5.npz"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src_ckpt = os.path.join(repo, "weights")
     # argv[3]/argv[4]: engine-B pool and output checkpoint dir overrides
@@ -87,7 +92,9 @@ def main():
     state = trainer.restore_checkpoint(state,
                                        out_ckpt if resume else src_ckpt)
     start_step = int(state.step)
-    print(f"start step {start_step} (resume={bool(resume)})", flush=True)
+    print(f"start step {start_step} (resume={bool(resume)}) "
+          f"degrade_p={DEGRADE_P} hard={HARD} b_frac={B_FRAC} lr={LR}",
+          flush=True)
 
     state = replicate_tree(state, mesh)
     state = trainer.set_learning_rate(state, LR)
@@ -125,7 +132,8 @@ def main():
         chosen = [train_samples[j] for j in idx_a] + \
                  [b_samples[j] for j in idx_b]
         examples = [pipeline.sample_to_example(
-            s, rng, train=True, degrade_p=DEGRADE_P) for s in chosen]
+            s, rng, train=True, degrade_p=DEGRADE_P,
+            degrade_hard=HARD) for s in chosen]
         hb = pipeline.collate(examples)
         key, sub = jax.random.split(key)
         sb = shard_batch(hb, mesh)

@@ -52,6 +52,36 @@ def test_degrade_p_zero_is_default_behavior():
     assert np.array_equal(a.image_u8, b.image_u8)
 
 
+def test_erode_partial_bounds_and_identity():
+    """p=1.0 equals the full erosion; p in (0,1) lies pixelwise between
+    the original and the full erosion and differs from both."""
+    img = _sample().image
+    full = degrade.erode_strokes(img)
+    assert np.array_equal(degrade.erode_partial(img, random.Random(2), 1.0),
+                          full)
+    part = degrade.erode_partial(img, random.Random(2), 0.5)
+    assert np.all(part >= np.minimum(img, full))
+    assert np.all(part <= np.maximum(img, full))
+    assert not np.array_equal(part, img)
+    assert not np.array_equal(part, full)
+
+
+def test_hard_regime_keeps_ink_and_hits_tail():
+    """The hard regime must (a) respect the retention guard and
+    (b) actually produce tail degradations (pixels change)."""
+    s = _sample()
+    rng = random.Random(13)
+    ink0 = (s.image.astype(np.float32) / 255.0) < 0.6
+    changed = 0
+    for _ in range(12):
+        out = degrade.random_degrade(s.image, rng, hard=True)
+        ink = (out.astype(np.float32) / 255.0) < 0.6
+        overlap = (ink & ink0).sum() / max(ink0.sum(), 1)
+        assert overlap > 0.25, overlap
+        changed += int(not np.array_equal(out, s.image))
+    assert changed == 12
+
+
 def test_random_degrade_keeps_most_ink_recoverable():
     """A degraded render binarized at 0.6 must still contain a
     substantial fraction of the original strokes (the augmentation is
