@@ -49,15 +49,37 @@ if [ "$FT_DEADLINE" -le $((NOW + 300)) ]; then
   log "under 5 min of fine-tune budget left ($((FT_DEADLINE - NOW))s); skipping fine-tune"
 else
   log "fine-tune until $FT_DEADLINE ($(((FT_DEADLINE - NOW) / 60)) min)"
-  stage_tmo=$((FT_DEADLINE - NOW + 300))
-  setsid timeout "$stage_tmo" python -u scripts/finetune_robust.py \
-    "$FT_DEADLINE" data_cache/pool_r5.npz \
-    >> logs/finetune_robust_r5f.log 2>&1 &
-  SPID=$!
-  echo "$SPID" > /tmp/round5f_stage.pid
-  wait "$SPID"; RC=$?
+  FTLOG="$REPO/logs/finetune_robust_r5f.log"
+  touch "$FTLOG"
+  STALL_S=600
+  # Kill-and-relaunch on log stall (the tunnel-hang failure mode from
+  # rounds 2-5; finetune_robust resumes from weights_robust on its own,
+  # and its 1000-step checkpoints bound the loss).
+  while [ "$(date +%s)" -lt "$FT_DEADLINE" ]; do
+    log "launching finetune_robust (deadline $FT_DEADLINE)"
+    stage_tmo=$((FT_DEADLINE - $(date +%s) + 120))
+    setsid timeout "$stage_tmo" python -u scripts/finetune_robust.py \
+      "$FT_DEADLINE" data_cache/pool_r5.npz \
+      >> "$FTLOG" 2>&1 &
+    SPID=$!
+    echo "$SPID" > /tmp/round5f_stage.pid
+    while kill -0 "$SPID" 2>/dev/null; do
+      sleep 60
+      AGE=$(( $(date +%s) - $(stat -c %Y "$FTLOG") ))
+      if [ "$AGE" -gt "$STALL_S" ]; then
+        log "fine-tune stalled ${AGE}s; killing group $SPID"
+        kill -9 -- "-$SPID" 2>/dev/null
+        sleep 10
+        break
+      fi
+    done
+    wait "$SPID" 2>/dev/null; RC=$?
+    if tail -5 "$FTLOG" | grep -q "fine-tuned .* steps"; then
+      break
+    fi
+  done
   rm -f /tmp/round5f_stage.pid
-  log "fine-tune rc=$RC"
+  log "fine-tune done (rc=$RC)"
   git add logs/finetune_robust_r5f.log 2>/dev/null
   git commit -q -m "r5f: hard-tail robustness fine-tune log" 2>/dev/null
 fi
