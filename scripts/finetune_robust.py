@@ -48,7 +48,7 @@ B_FRAC = float(os.environ.get("FT_B_FRAC", 0.15))
 # and still collapses on blur_r2/erode (logs/degraded_r5d.log), so the
 # fine-tune targets the measured tail. FT_HARD=0 restores the r4 form.
 HARD = os.environ.get("FT_HARD", "1") != "0"
-B_POOL_N = 24000
+B_POOL_N = int(os.environ.get("FT_B_POOL_N", 24000))
 
 
 def _gen_b(rng):
